@@ -1,0 +1,97 @@
+"""CLI entry point (reference: src/main.zig).
+
+Same six flags as the reference's UserArgs (src/main.zig:20-28) plus
+TPU-specific extensions (sampler strategy, seed, device sharding).  Stage
+timings are logged with the same three messages (src/main.zig:94,97,105).
+
+Run:  python -m zig_weekend_raytracer_tpu.cli --image_width=400 --image_height=400
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import sys
+
+from .models import DEFAULT_ASSET_DIR, SceneType, load_scene
+from .io.ppm import write_ppm
+from .render.renderer import Renderer
+from .sampling.sampler import SamplerKind
+from .utils.argparser import ArgParser, HelpPassedInArgs, ParseArgsError
+from .utils.timer import Timer
+
+
+@dataclasses.dataclass
+class UserArgs:
+    image_width: int
+    image_height: int
+    image_out_path: str = "image.ppm"
+    # Kept for CLI parity; on TPU the "pool" is the chip itself.  Used for
+    # the native writer's thread count.
+    thread_pool_size: int = 8
+    scene: SceneType = SceneType.EMISSIVE
+    samples_per_pixel: int = 10
+    ray_bounce_max_depth: int = 20
+    # --- extensions beyond the reference flag set ---
+    sampler: SamplerKind = SamplerKind.SOBOL
+    seed: int = 0
+    asset_dir: str = DEFAULT_ASSET_DIR
+    shard: str = "none"  # none | samples | rows  (multi-chip)
+
+
+def parse_user_args(argv) -> UserArgs:
+    parser = ArgParser(UserArgs)
+    try:
+        return parser.parse(argv)
+    except HelpPassedInArgs:
+        print(parser.usage(), file=sys.stderr)
+        raise
+    except ParseArgsError:
+        print(parser.usage(), file=sys.stderr)
+        raise
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    timer = Timer()
+    try:
+        args = parse_user_args(
+            argv if argv is not None else sys.argv[1:]
+        )
+    except HelpPassedInArgs:
+        return 0
+    except ParseArgsError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    scene = load_scene(args.scene, seed=args.seed, asset_dir=args.asset_dir)
+    timer.log_info_elapsed("scene initialized")
+
+    if args.shard != "none":
+        from .parallel import render_sharded
+
+        fb = render_sharded(
+            scene, args.image_width, args.image_height,
+            args.samples_per_pixel, args.ray_bounce_max_depth,
+            sampler=args.sampler, shard=args.shard, seed=args.seed,
+        )
+        import numpy as np
+
+        fb = np.asarray(fb)
+    else:
+        renderer = Renderer(
+            samples_per_pixel=args.samples_per_pixel,
+            max_ray_bounce_depth=args.ray_bounce_max_depth,
+            sampler=args.sampler,
+            seed=args.seed,
+        )
+        fb = renderer.render(scene, args.image_width, args.image_height)
+    timer.log_info_elapsed("scene rendered")
+
+    write_ppm(args.image_out_path, fb)
+    timer.log_info_elapsed("scene written to file")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

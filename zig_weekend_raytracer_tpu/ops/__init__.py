@@ -1,0 +1,6 @@
+"""Hot-path compute ops: closest-hit tracing (brute-force and stackless BVH),
+with Pallas-fused variants where profitable.
+"""
+
+from . import trace
+from .trace import Hit, closest_hit, hit_details

@@ -1,0 +1,216 @@
+"""The wavefront integrator: iterative, batched, branchless, SoA.
+
+This is the TPU-native re-design of the reference's recursive Monte-Carlo
+estimator ``rayColor`` (src/render.zig:188-289).  The recursion (two
+self-calls: specular bypass :245 and PDF-weighted scatter :280) becomes a
+``lax.fori_loop`` over bounce depth carrying SoA path state
+(origin/direction/throughput/radiance/alive); the estimator identity
+
+    color = emission + attenuation * scatter_pdf / sample_pdf * L(scattered)
+
+unrolls into a running throughput product.
+
+Semantics matched bounce-for-bounce:
+  * depth cutoff -> black                              (:199)
+  * miss -> background, path ends                      (:215-217)
+  * emission with backface culling in the material     (:234, material.zig:93)
+  * emissive / absorbed-metal paths end                (:238-240, material.zig:177)
+  * specular branch bypasses PDFs, T *= attenuation    (:243-246)
+  * diffuse: 50/50 mixture of light-entity PDF and the material scatter PDF
+    when the scene has a light list                    (:254-263)
+    or the cosine PDF alone otherwise                  (:264-269)
+  * weight = attenuation * scatteringPdf / samplePdf   (:280-288)
+
+All randomness is content-addressed (sampling/hashrng.py): a pure function
+of (seed, ray_id, bounce, site), so results are bitwise-invariant to chunk
+decomposition and device count.
+
+Deviation (documented): paths whose throughput hits exactly zero are
+terminated early.  In the reference they keep bouncing with zero weight; the
+results are identical except where 0-weight samples would have turned into
+NaNs (which the writer scrubs to black anyway, src/writer/writer.zig:83-94).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..dtypes import INF, T_MIN, real
+from ..materials import (
+    emitted as mat_emitted,
+    schlick_reflectance,
+    scattering_pdf,
+)
+from ..math import v3
+from ..math.v3 import V3
+from ..ops.trace import closest_hit, hit_details
+from ..sampling import hashrng
+from ..scene import (
+    MAT_DIELECTRIC,
+    MAT_DIFFUSE_LIGHT,
+    MAT_ISOTROPIC,
+    MAT_METAL,
+    CompiledScene,
+)
+from ..textures import texture_value
+from ..utils.profiler import named_zone
+from .pdfs import light_pdf_value, sample_light_direction
+
+# hashrng stream-site layout: camera uses sites 0..3 (see camera.py);
+# each bounce d uses sites _BOUNCE_BASE + d * _SITES_PER_BOUNCE + k.
+_BOUNCE_BASE = 8
+_SITES_PER_BOUNCE = 4
+
+
+class PathState(NamedTuple):
+    origin: V3
+    direction: V3
+    time: jnp.ndarray        # (N,)
+    throughput: V3
+    radiance: V3
+    alive: jnp.ndarray       # (N,) bool
+
+
+def trace_paths(
+    scene: CompiledScene,
+    origin: V3,
+    direction: V3,
+    time: jnp.ndarray,
+    seed,                    # u32 scalar
+    ray_id: jnp.ndarray,     # (N,) u32 global ray ids
+    max_depth: int,
+    terminate_zero_throughput: bool = True,
+) -> V3:
+    """Estimate radiance for a wavefront of rays.  Returns V3 of (N,)."""
+    n = origin.shape[0]
+    state = PathState(
+        origin=origin,
+        direction=direction,
+        time=time,
+        throughput=V3.full((n,), 1.0, 1.0, 1.0, real),
+        radiance=V3.zeros((n,), real),
+        alive=jnp.ones((n,), bool),
+    )
+
+    def bounce(depth, st: PathState) -> PathState:
+        # Per-bounce decorrelation: the (traced) depth folds into the stream
+        # index — every draw is a pure function of (seed, ray_id, site).
+        site = _BOUNCE_BASE + depth * _SITES_PER_BOUNCE
+        u0, u1, u2, u3 = hashrng.uniform4(seed, ray_id, site)
+        u4, u5, u6, _ = hashrng.uniform4(seed, ray_id, site + 1)
+        gauss = hashrng.gauss3(seed, ray_id, site + 2)
+
+        with named_zone("rayColor"):
+            hit = closest_hit(
+                scene, st.origin, st.direction, st.time, T_MIN, INF
+            )
+        det = hit_details(scene, hit, st.origin, st.direction, st.time)
+
+        hit_any = hit.kind >= 0
+        hitmask = st.alive & hit_any
+        missed = st.alive & ~hit_any
+
+        radiance = st.radiance + V3.where(
+            missed,
+            st.throughput * scene.background,
+            V3.zeros((n,), real),
+        )
+
+        mat_id = det.mat
+        mat_type = scene.mat_type[mat_id]
+        tex_rgb = texture_value(
+            scene, scene.mat_tex[mat_id], det.u, det.v, det.point
+        )
+
+        # ---- emission (src/render.zig:232-240) ----
+        is_emissive = mat_type == MAT_DIFFUSE_LIGHT
+        emits = hitmask & is_emissive & det.front
+        radiance = V3.where(
+            emits, radiance + st.throughput * tex_rgb, radiance
+        )
+
+        # ---- metal (src/material.zig:163-178) ----
+        fuzz = jnp.clip(scene.mat_fuzz[mat_id], 0.0, 1.0)
+        reflected = v3.reflect(st.direction, det.normal)
+        metal_dir = reflected + hashrng.unit_sphere(gauss) * fuzz
+        metal_ok = v3.dot(metal_dir, det.normal) > 0.0
+
+        # ---- dielectric (src/material.zig:190-218) ----
+        ri = scene.mat_refract[mat_id]
+        index = jnp.where(det.front, 1.0 / ri, ri)
+        unit_in = v3.normalize(st.direction)
+        cos_theta = jnp.minimum(v3.dot(-unit_in, det.normal), 1.0)
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+        must_reflect = (index * sin_theta > 1.0) | (
+            schlick_reflectance(cos_theta, ri) > u0
+        )
+        diel_dir = V3.where(
+            must_reflect,
+            v3.reflect(unit_in, det.normal),
+            v3.refract(unit_in, det.normal, index),
+        )
+
+        # ---- diffuse sampling (lambertian cosine / isotropic sphere) ----
+        is_iso = mat_type == MAT_ISOTROPIC
+        basis = v3.ortho_basis(det.normal)
+        cosine_dir = v3.onb_transform(basis, hashrng.cosine_direction_z(u1, u2))
+        sphere_dir = hashrng.unit_sphere(gauss)  # disjoint from metal by type
+        mat_sample_dir = V3.where(is_iso, sphere_dir, cosine_dir)
+
+        if scene.has_lights:
+            # MixturePdf: 50/50 generator choice + averaged value
+            # (src/pdf.zig:92-119, src/render.zig:254-263).
+            light_dir = sample_light_direction(scene, det.point, u4, u5, u6)
+            use_light = u3 < 0.5
+            diff_dir = V3.where(use_light, light_dir, mat_sample_dir)
+            mat_pdf = scattering_pdf(mat_type, det.normal, diff_dir)
+            l_pdf = light_pdf_value(scene, det.point, diff_dir)
+            sample_pdf = 0.5 * l_pdf + 0.5 * mat_pdf
+            scatter_pdf = mat_pdf
+        else:
+            # CosinePdf fallback (src/render.zig:264-269).
+            diff_dir = mat_sample_dir
+            scatter_pdf = scattering_pdf(mat_type, det.normal, diff_dir)
+            sample_pdf = scatter_pdf
+
+        diffuse_mult = tex_rgb * (scatter_pdf / sample_pdf)
+
+        # ---- combine by material type ----
+        is_metal = mat_type == MAT_METAL
+        is_diel = mat_type == MAT_DIELECTRIC
+        is_spec = is_metal | is_diel
+
+        new_dir = V3.where(
+            is_spec, V3.where(is_metal, metal_dir, diel_dir), diff_dir
+        )
+        one = V3.full((n,), 1.0, 1.0, 1.0, real)
+        mult = V3.where(
+            is_metal,
+            scene.mat_albedo[mat_id],
+            V3.where(is_diel, one, diffuse_mult),
+        )
+
+        survives = hitmask & ~is_emissive & ~(is_metal & ~metal_ok)
+        throughput = V3.where(survives, st.throughput * mult, st.throughput)
+        if terminate_zero_throughput:
+            nonzero = (
+                (throughput.x != 0.0)
+                | (throughput.y != 0.0)
+                | (throughput.z != 0.0)
+            )
+            survives = survives & nonzero
+
+        return PathState(
+            origin=V3.where(hitmask, det.point, st.origin),
+            direction=V3.where(hitmask, new_dir, st.direction),
+            time=st.time,
+            throughput=throughput,
+            radiance=radiance,
+            alive=survives,
+        )
+
+    final = jax.lax.fori_loop(0, max_depth, bounce, state)
+    return final.radiance

@@ -1,0 +1,169 @@
+"""Chunked render driver.
+
+The reference fans (row x 32-pixel-block) closures onto a thread pool
+(src/render.zig:55-73).  The TPU analog: the whole (pixel, sample) space is a
+flat wavefront, chunked into static-shape batches (row bands x sample
+chunks) so one jitted program is compiled once and reused; chunk size bounds
+transient HBM while keeping the VPU saturated.  Accumulation happens on
+device in f32; there are no races by construction — each chunk owns a
+disjoint framebuffer slice, the direct analog of the reference's
+partition-by-construction concurrency (src/render.zig:60).
+
+Because all randomness is content-addressed by global ray id
+(sampling/hashrng.py), the rendered image is bitwise-invariant to the chunk
+decomposition.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import real
+from ..sampling.sampler import SamplerKind
+from ..scene import CompiledScene, Scene
+from ..utils.profiler import named_zone
+from .camera import CameraParams, camera_params, generate_rays
+from .integrator import trace_paths
+
+log = logging.getLogger("zwrt")
+
+
+def ray_grid(width, height, band_y0, band_rows, sample0, spp_chunk):
+    """Flat (px, py, sample_idx, ray_id) arrays for one chunk.
+
+    The global ray id is ``(sample * height + y) * width + x`` — the RNG
+    content address (u32; callers must keep W*H*spp < 2^32).
+    """
+    s = sample0 + jnp.arange(spp_chunk, dtype=jnp.int32)
+    y = band_y0 + jnp.arange(band_rows, dtype=jnp.int32)
+    x = jnp.arange(width, dtype=jnp.int32)
+    sg, yg, xg = jnp.meshgrid(s, y, x, indexing="ij")
+    px = xg.reshape(-1)
+    py = jnp.minimum(yg.reshape(-1), height - 1)  # clamp padded rows
+    sidx = sg.reshape(-1)
+    ray_id = (
+        (sidx.astype(jnp.uint32) * jnp.uint32(height) + py.astype(jnp.uint32))
+        * jnp.uint32(width)
+        + px.astype(jnp.uint32)
+    )
+    return px, py, sidx, ray_id
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "band_rows", "spp_chunk", "spp",
+        "max_depth", "sampler", "has_dof",
+    ),
+)
+def _render_band(
+    scene: CompiledScene,
+    cam: CameraParams,
+    seed: jnp.ndarray,      # u32 scalar
+    band_y0: jnp.ndarray,   # scalar i32
+    sample0: jnp.ndarray,   # scalar i32
+    *,
+    width: int,
+    height: int,
+    band_rows: int,
+    spp_chunk: int,
+    spp: int,
+    max_depth: int,
+    sampler: SamplerKind,
+    has_dof: bool,
+) -> jnp.ndarray:
+    """Render one (row-band x sample-chunk) wavefront; returns the radiance
+    sum over the chunk's samples, shape (band_rows, width, 3)."""
+    with named_zone("Renderer::render"):
+        px, py, sidx, ray_id = ray_grid(
+            width, height, band_y0, band_rows, sample0, spp_chunk
+        )
+        with named_zone("sampleRay"):
+            origin, direction, time = generate_rays(
+                cam, has_dof, sampler, seed, ray_id, px, py, sidx,
+                spp, width, height,
+            )
+        with named_zone("rayColorLine"):
+            radiance = trace_paths(
+                scene, origin, direction, time, seed, ray_id, max_depth
+            )
+        # Zero padded samples (last chunk when spp % spp_chunk != 0).
+        valid = sidx < spp
+        rad = radiance.to_array() * valid[..., None]
+        return rad.reshape(spp_chunk, band_rows, width, 3).sum(axis=0)
+
+
+@dataclasses.dataclass
+class Renderer:
+    """User-facing render configuration (reference: Renderer struct,
+    src/render.zig:19-27 + UserArgs, src/main.zig:20-28)."""
+
+    samples_per_pixel: int = 10
+    max_ray_bounce_depth: int = 20
+    sampler: SamplerKind = SamplerKind.SOBOL  # the reference hardcodes Sobol
+    # pixel jitter (src/render.zig:115-121); independent/stratified selectable
+    seed: int = 0
+    # Max rays in flight per chunk; bounds transient HBM.
+    max_rays_per_chunk: int = 1 << 21
+
+    def render(
+        self,
+        scene: Scene,
+        width: int,
+        height: int,
+    ) -> np.ndarray:
+        """Renders and returns the linear-space framebuffer (H, W, 3) f32
+        averaged over samples (the analog of Renderer.render,
+        src/render.zig:29-74)."""
+        return np.asarray(self.render_device(scene, width, height))
+
+    def render_device(
+        self,
+        scene: Scene,
+        width: int,
+        height: int,
+    ) -> jnp.ndarray:
+        spp = self.samples_per_pixel
+        if self.sampler == SamplerKind.SOBOL and spp & (spp - 1):
+            log.warning(
+                "Non power of two samples per pixel will perform poorly "
+                "with sobol sampling: %d", spp,
+            )  # parity: src/math/sampler.zig:184-186
+        assert width * height * spp < 2**32, "ray id space exceeds u32"
+
+        cam = camera_params(scene.camera, width, height)
+        has_dof = scene.camera.has_depth_of_field
+        seed = jnp.uint32(self.seed)
+
+        # Chunk geometry: fit as many samples per chunk as possible, then
+        # split rows if a single-sample pass is still too large.
+        spp_chunk = max(
+            1, min(spp, self.max_rays_per_chunk // max(width * height, 1))
+        )
+        band_rows = max(
+            1, min(height, self.max_rays_per_chunk // (width * spp_chunk))
+        )
+        n_bands = -(-height // band_rows)
+        n_chunks = -(-spp // spp_chunk)
+
+        h_pad = n_bands * band_rows
+        fb = jnp.zeros((h_pad, width, 3), real)
+        for b in range(n_bands):
+            for c in range(n_chunks):
+                out = _render_band(
+                    scene.compiled, cam, seed,
+                    jnp.int32(b * band_rows), jnp.int32(c * spp_chunk),
+                    width=width, height=height, band_rows=band_rows,
+                    spp_chunk=spp_chunk, spp=spp,
+                    max_depth=self.max_ray_bounce_depth,
+                    sampler=self.sampler, has_dof=has_dof,
+                )
+                fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
+        return fb[:height] / real(spp)
