@@ -41,9 +41,10 @@ from ..scene import PRIM_QUAD, PRIM_SPHERE, CompiledScene
 
 _NO_HIT = jnp.int32(-1)
 
-# Primitive-axis block size for the brute-force scan: transient (N, B)
-# buffers; 512 keeps them in check while filling the 8x128 VPU tiles.
-PRIM_BLOCK = 512
+# Above this many primitives of one kind, the unrolled brute-force loop
+# switches to a fori_loop with dynamic scalar slices (identical math, O(1)
+# program size).  Scenes beyond ~this size should be using the BVH anyway.
+BRUTE_UNROLL_LIMIT = 192
 
 
 class Hit(NamedTuple):
@@ -86,93 +87,64 @@ def closest_hit(
 # Brute force
 # ---------------------------------------------------------------------------
 
-def _bcol(a: jnp.ndarray) -> jnp.ndarray:
-    """Ray-axis column: (N,) -> (N, 1) for broadcasting against prim blocks."""
-    return a[:, None]
-
-
-def _vcol(a: V3) -> V3:
-    return V3(a.x[:, None], a.y[:, None], a.z[:, None])
-
-
-def _slice_v3(a: V3, start: int, size: int) -> V3:
-    sl = lambda c: jax.lax.dynamic_slice_in_dim(c, start, size)
-    return V3(sl(a.x), sl(a.y), sl(a.z))
-
-
 def _closest_hit_brute(scene, origin, direction, time, t_min, t_max) -> Hit:
+    """Linear scan over the primitive tables.
+
+    Each primitive becomes *broadcast scalars* against the (N,) ray lanes —
+    never an (N, P) matrix, whose tiny minor dim would waste 120+ of the 128
+    VPU lanes (measured 10-20x slower).  Small tables unroll in Python;
+    large ones run the identical math in a ``fori_loop`` with dynamically
+    sliced scalars.
+    """
     n = origin.shape[0]
     best = Hit(
         t=jnp.full((n,), INF, real),
         kind=jnp.full((n,), _NO_HIT),
         idx=jnp.zeros((n,), jnp.int32),
     )
-    org_c = _vcol(origin)
-    dir_c = _vcol(direction)
-    t_min_c = jnp.broadcast_to(jnp.asarray(t_min, real), (n,))[:, None]
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, real), (n,))
 
-    s_pad = scene.sph_radius.shape[0]
-    q_pad = scene.quad_offset.shape[0]
-
-    def sphere_block(best: Hit, start: int) -> Hit:
-        size = min(PRIM_BLOCK, s_pad - start)
-        center = _slice_v3(scene.sph_center, start, size)  # (size,)
-        radius = jax.lax.dynamic_slice_in_dim(scene.sph_radius, start, size)
+    def sphere_step(best: Hit, i) -> Hit:
+        center = scene.sph_center[i]
         if scene.has_moving:
-            move = _slice_v3(scene.sph_move, start, size)
-            center = V3(
-                center.x[None] + time[:, None] * move.x[None],
-                center.y[None] + time[:, None] * move.y[None],
-                center.z[None] + time[:, None] * move.z[None],
-            )
-        else:
-            center = V3(center.x[None], center.y[None], center.z[None])
+            center = center + scene.sph_move[i] * time
         t, _ = sphere_g.hit_t(
-            center, radius[None], org_c, dir_c, t_min_c, _bcol(best.t)
-        )  # (N, size)
-        j = jnp.argmin(t, axis=1)
-        tj = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
-        closer = tj < best.t
+            center, scene.sph_radius[i], origin, direction, t_min_b, best.t
+        )
+        closer = t < best.t
+        i32 = jnp.asarray(i, jnp.int32)
         return Hit(
-            t=jnp.where(closer, tj, best.t),
+            t=jnp.where(closer, t, best.t),
             kind=jnp.where(closer, PRIM_SPHERE, best.kind),
-            idx=jnp.where(closer, start + j.astype(jnp.int32), best.idx),
+            idx=jnp.where(closer, i32, best.idx),
         )
 
-    def quad_block(best: Hit, start: int) -> Hit:
-        size = min(PRIM_BLOCK, q_pad - start)
+    def quad_step(best: Hit, i) -> Hit:
         t, _, _, _ = quad_g.hit_t(
-            _row(_slice_v3(scene.quad_start, start, size)),
-            _row(_slice_v3(scene.quad_normal, start, size)),
-            _row(_slice_v3(scene.quad_w, start, size)),
-            _row(_slice_v3(scene.quad_u, start, size)),
-            _row(_slice_v3(scene.quad_v, start, size)),
-            jax.lax.dynamic_slice_in_dim(scene.quad_offset, start, size)[None],
-            org_c, dir_c, t_min_c, _bcol(best.t),
+            scene.quad_start[i], scene.quad_normal[i], scene.quad_w[i],
+            scene.quad_u[i], scene.quad_v[i], scene.quad_offset[i],
+            origin, direction, t_min_b, best.t,
         )
-        j = jnp.argmin(t, axis=1)
-        tj = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
-        closer = tj < best.t
+        closer = t < best.t
+        i32 = jnp.asarray(i, jnp.int32)
         return Hit(
-            t=jnp.where(closer, tj, best.t),
+            t=jnp.where(closer, t, best.t),
             kind=jnp.where(closer, PRIM_QUAD, best.kind),
-            idx=jnp.where(closer, start + j.astype(jnp.int32), best.idx),
+            idx=jnp.where(closer, i32, best.idx),
         )
 
-    if scene.n_spheres > 0:
-        for start in range(0, s_pad, PRIM_BLOCK):
-            if start < scene.n_spheres:
-                best = sphere_block(best, start)
-    if scene.n_quads > 0:
-        for start in range(0, q_pad, PRIM_BLOCK):
-            if start < scene.n_quads:
-                best = quad_block(best, start)
+    def scan(count, step, best):
+        if count == 0:
+            return best
+        if count <= BRUTE_UNROLL_LIMIT:
+            for i in range(count):
+                best = step(best, i)
+            return best
+        return jax.lax.fori_loop(0, count, lambda i, b: step(b, i), best)
+
+    best = scan(scene.n_spheres, sphere_step, best)
+    best = scan(scene.n_quads, quad_step, best)
     return best
-
-
-def _row(a: V3) -> V3:
-    """Prim-axis row: V3 of (B,) -> V3 of (1, B)."""
-    return V3(a.x[None], a.y[None], a.z[None])
 
 
 # ---------------------------------------------------------------------------
