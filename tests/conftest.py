@@ -10,6 +10,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import sys  # noqa: E402
+
+# repo root on sys.path so `import __graft_entry__` works
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_threefry_partitionable", True)

@@ -49,9 +49,9 @@ def test_background_scene():
     np.testing.assert_allclose(corner, [0.5, 0.7, 1.0], atol=0.2)
 
 
-def test_chunking_runs_and_stays_unbiased(cornell):
-    """Different chunk decompositions draw different random streams but must
-    agree within Monte-Carlo noise."""
+def test_chunking_invariance(cornell):
+    """The content-addressed RNG makes the render independent of the chunk
+    decomposition (up to f32 accumulation order)."""
     r_big = Renderer(samples_per_pixel=16, max_ray_bounce_depth=4, seed=3)
     r_small = Renderer(
         samples_per_pixel=16, max_ray_bounce_depth=4, seed=3,
@@ -59,4 +59,4 @@ def test_chunking_runs_and_stays_unbiased(cornell):
     )
     fb1 = r_big.render(cornell, 16, 16)
     fb2 = r_small.render(cornell, 16, 16)
-    assert abs(fb1.mean() - fb2.mean()) < 0.1
+    np.testing.assert_allclose(fb1, fb2, rtol=1e-4, atol=1e-6)

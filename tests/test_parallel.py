@@ -1,0 +1,71 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: the
+distributed analog of golden-image testing.  Content-addressed RNG makes the
+sharded render agree with the single-device render bit-for-bit (up to f32
+summation order across sample shards)."""
+
+import jax
+import numpy as np
+import pytest
+
+import zig_weekend_raytracer_tpu as zwrt
+from zig_weekend_raytracer_tpu.parallel import make_mesh, render_sharded
+from zig_weekend_raytracer_tpu.render import Renderer
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return zwrt.models.load_scene("cornell_box")
+
+
+@pytest.fixture(scope="module")
+def single(scene):
+    r = Renderer(samples_per_pixel=8, max_ray_bounce_depth=3, seed=0)
+    return r.render(scene, 16, 16)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sample_sharding_matches_single_device(scene, single):
+    mesh = make_mesh(8)
+    fb = render_sharded(
+        scene, 16, 16, 8, max_depth=3, mesh=mesh, shard="samples", seed=0
+    )
+    np.testing.assert_allclose(np.asarray(fb), single, rtol=1e-4, atol=1e-6)
+
+
+def test_row_sharding_matches_single_device(scene, single):
+    mesh = make_mesh(8)
+    fb = render_sharded(
+        scene, 16, 16, 8, max_depth=3, mesh=mesh, shard="rows", seed=0
+    )
+    np.testing.assert_allclose(np.asarray(fb), single, rtol=1e-4, atol=1e-6)
+
+
+def test_chip_count_invariance(scene):
+    """1-, 2-, 4-, 8-device sample shards all agree."""
+    results = []
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(n)
+        fb = render_sharded(
+            scene, 8, 8, 8, max_depth=2, mesh=mesh, shard="samples", seed=1
+        )
+        results.append(np.asarray(fb))
+    for r in results[1:]:
+        np.testing.assert_allclose(r, results[0], rtol=1e-4, atol=1e-6)
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (64, 64, 3)
+    assert not np.isnan(np.asarray(out)).any()
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

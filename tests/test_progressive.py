@@ -1,0 +1,68 @@
+"""Progressive checkpoint/resume tests: an interrupted render resumed from
+its checkpoint must equal an uninterrupted one bit-for-bit (guaranteed by
+the content-addressed RNG)."""
+
+import numpy as np
+import pytest
+
+import zig_weekend_raytracer_tpu as zwrt
+from zig_weekend_raytracer_tpu.render import ProgressiveRenderer, Renderer
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return zwrt.models.load_scene("cornell_box")
+
+
+def test_progressive_equals_oneshot(scene, tmp_path):
+    base = Renderer(samples_per_pixel=8, max_ray_bounce_depth=3, seed=2)
+    oneshot = base.render(scene, 12, 12)
+
+    ck = str(tmp_path / "ck.npz")
+    prog = ProgressiveRenderer(renderer=base, checkpoint_path=ck)
+    fb = prog.render(scene, 12, 12, batch_spp=3)
+    np.testing.assert_allclose(fb, oneshot, rtol=1e-5, atol=1e-7)
+
+
+def test_resume_from_checkpoint(scene, tmp_path):
+    base = Renderer(samples_per_pixel=8, max_ray_bounce_depth=3, seed=2)
+    oneshot = base.render(scene, 12, 12)
+
+    ck = str(tmp_path / "ck.npz")
+
+    # Simulate a crash after the first batch: run batches but stop early by
+    # raising from the callback.
+    class Stop(Exception):
+        pass
+
+    prog = ProgressiveRenderer(renderer=base, checkpoint_path=ck)
+
+    def bail(done, _img):
+        if done >= 3:
+            raise Stop
+
+    with pytest.raises(Stop):
+        prog.render(scene, 12, 12, batch_spp=3, on_batch=bail)
+
+    z = np.load(ck)
+    assert int(z["samples_done"]) == 3
+
+    # Resume: must complete and match the uninterrupted render.
+    prog2 = ProgressiveRenderer(renderer=base, checkpoint_path=ck)
+    fb = prog2.render(scene, 12, 12, batch_spp=3)
+    np.testing.assert_allclose(fb, oneshot, rtol=1e-5, atol=1e-7)
+
+
+def test_mismatched_checkpoint_restarts(scene, tmp_path):
+    ck = str(tmp_path / "ck.npz")
+    r8 = Renderer(samples_per_pixel=8, max_ray_bounce_depth=3, seed=2)
+    ProgressiveRenderer(renderer=r8, checkpoint_path=ck).render(
+        scene, 12, 12, batch_spp=8
+    )
+    # different seed -> fingerprint mismatch -> fresh start, still correct
+    r_other = Renderer(samples_per_pixel=8, max_ray_bounce_depth=3, seed=9)
+    fb = ProgressiveRenderer(renderer=r_other, checkpoint_path=ck).render(
+        scene, 12, 12, batch_spp=8
+    )
+    oneshot = r_other.render(scene, 12, 12)
+    np.testing.assert_allclose(fb, oneshot, rtol=1e-5, atol=1e-7)

@@ -7,6 +7,7 @@ whole ray wavefront is processed in one XLA op.
 
 from . import v3
 from .v3 import V3
+from .interval import INTERVAL_01, Interval
 from .vec import (
     dot,
     cross,

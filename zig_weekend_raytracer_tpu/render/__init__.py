@@ -4,3 +4,4 @@ chunked renderer driver."""
 from .camera import CameraParams, camera_params, generate_rays
 from .integrator import trace_paths
 from .renderer import Renderer
+from .progressive import ProgressiveRenderer
