@@ -23,7 +23,7 @@ class TestSceneLibrary:
         assert c.n_quads == 12
         assert c.n_spheres == 1
         assert c.n_lights == 2  # glass sphere + light quad
-        kinds = set(np.asarray(c.light_kind)[: c.n_lights].tolist())
+        kinds = {k for k, _ in c.lights}
         assert kinds == {PRIM_SPHERE, PRIM_QUAD}
 
     def test_emissive_inventory(self):

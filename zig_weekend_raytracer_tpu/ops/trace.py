@@ -77,9 +77,15 @@ def closest_hit(
     time: jnp.ndarray,
     t_min,
     t_max,
+    active: jnp.ndarray | None = None,
 ) -> Hit:
+    """Closest hit for a ray wavefront.  ``active`` (bool (N,), optional)
+    lets terminated paths skip BVH traversal entirely, shortening the
+    lockstep while_loop once most of the wavefront is dead."""
     if scene.has_bvh:
-        return _closest_hit_bvh(scene, origin, direction, time, t_min, t_max)
+        return _closest_hit_bvh(
+            scene, origin, direction, time, t_min, t_max, active
+        )
     return _closest_hit_brute(scene, origin, direction, time, t_min, t_max)
 
 
@@ -158,14 +164,21 @@ class _TraverseState(NamedTuple):
     idx: jnp.ndarray
 
 
-def _closest_hit_bvh(scene, origin, direction, time, t_min, t_max) -> Hit:
+def _closest_hit_bvh(
+    scene, origin, direction, time, t_min, t_max, active=None
+) -> Hit:
     n = origin.shape[0]
     n_nodes = scene.bvh_miss.shape[0]
     inv_dir = V3(1.0 / direction.x, 1.0 / direction.y, 1.0 / direction.z)
     t_min_arr = jnp.broadcast_to(jnp.asarray(t_min, real), (n,))
 
+    start_node = jnp.zeros((n,), jnp.int32)
+    if active is not None:
+        # dead rays start past the end: they never traverse
+        start_node = jnp.where(active, start_node, n_nodes)
+
     init = _TraverseState(
-        node=jnp.zeros((n,), jnp.int32),
+        node=start_node,
         t=jnp.broadcast_to(jnp.asarray(t_max, real), (n,)).astype(real),
         kind=jnp.full((n,), _NO_HIT),
         idx=jnp.zeros((n,), jnp.int32),
@@ -193,15 +206,19 @@ def _closest_hit_bvh(scene, origin, direction, time, t_min, t_max) -> Hit:
             kind = scene.bvh_prim_kind[pi]
             idx = scene.bvh_prim_idx[pi]
 
-            center = _sphere_center_at(scene, idx, time)
+            # both kinds are evaluated masked; clamp the index into each
+            # table explicitly (an idx of one kind is OOB for the other)
+            si = jnp.minimum(idx, scene.sph_radius.shape[0] - 1)
+            qi = jnp.minimum(idx, scene.quad_offset.shape[0] - 1)
+            center = _sphere_center_at(scene, si, time)
             ts, _ = sphere_g.hit_t(
-                center, scene.sph_radius[idx], origin, direction,
+                center, scene.sph_radius[si], origin, direction,
                 t_min_arr, t_best,
             )
             tq, _, _, _ = quad_g.hit_t(
-                scene.quad_start[idx], scene.quad_normal[idx],
-                scene.quad_w[idx], scene.quad_u[idx], scene.quad_v[idx],
-                scene.quad_offset[idx], origin, direction,
+                scene.quad_start[qi], scene.quad_normal[qi],
+                scene.quad_w[qi], scene.quad_u[qi], scene.quad_v[qi],
+                scene.quad_offset[qi], origin, direction,
                 t_min_arr, t_best,
             )
             t_hit = jnp.where(kind == PRIM_SPHERE, ts, tq)
@@ -240,31 +257,35 @@ def hit_details(
     the baked-instancing equivalent of RotateY.hit's normal rotation,
     src/entity.zig:185-186).  Quad path: src/entity.zig:487-499.
     """
-    idx = hit.idx
     safe_t = jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)
     point = origin + direction * safe_t
 
+    # clamp the winning index into each table (a quad idx is OOB for the
+    # sphere table and vice versa; both branches evaluate masked)
+    si = jnp.minimum(hit.idx, scene.sph_radius.shape[0] - 1)
+    qi = jnp.minimum(hit.idx, scene.quad_offset.shape[0] - 1)
+
     # -- sphere attributes --
-    center = _sphere_center_at(scene, idx, time)
-    inv_r = 1.0 / jnp.maximum(scene.sph_radius[idx], 1e-20)
+    center = _sphere_center_at(scene, si, time)
+    inv_r = 1.0 / jnp.maximum(scene.sph_radius[si], 1e-20)
     n_sph = (point - center) * inv_r
     # object-space normal for UV (undo baked Y rotation)
-    c_rot = scene.sph_uv_cos[idx]
-    s_rot = scene.sph_uv_sin[idx]
+    c_rot = scene.sph_uv_cos[si]
+    s_rot = scene.sph_uv_sin[si]
     n_obj = V3(
         c_rot * n_sph.x - s_rot * n_sph.z,
         n_sph.y,
         s_rot * n_sph.x + c_rot * n_sph.z,
     )
     u_sph, v_sph = sphere_g.uv(n_obj)
-    mat_sph = scene.sph_mat[idx]
+    mat_sph = scene.sph_mat[si]
 
     # -- quad attributes --
-    n_quad = scene.quad_normal[idx]
-    planar = point - scene.quad_start[idx]
-    alpha = v3.dot(scene.quad_w[idx], v3.cross(planar, scene.quad_v[idx]))
-    beta = v3.dot(scene.quad_w[idx], v3.cross(scene.quad_u[idx], planar))
-    mat_quad = scene.quad_mat[idx]
+    n_quad = scene.quad_normal[qi]
+    planar = point - scene.quad_start[qi]
+    alpha = v3.dot(scene.quad_w[qi], v3.cross(planar, scene.quad_v[qi]))
+    beta = v3.dot(scene.quad_w[qi], v3.cross(scene.quad_u[qi], planar))
+    mat_quad = scene.quad_mat[qi]
 
     is_sphere = hit.kind == PRIM_SPHERE
     outward = V3.where(is_sphere, n_sph, n_quad)

@@ -18,6 +18,10 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
     """
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devs)} present"
+            )
         devs = devs[:n_devices]
     import numpy as np
 

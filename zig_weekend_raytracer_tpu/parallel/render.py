@@ -90,7 +90,8 @@ def render_sharded(
 
         fn = jax.jit(
             jax.shard_map(
-                worker, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P()
+                worker, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
+                check_vma=False,
             )
         )
         return fn(compiled, cam, seed_arr)
@@ -114,7 +115,8 @@ def render_sharded(
 
         fn = jax.jit(
             jax.shard_map(
-                worker, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(AXIS)
+                worker, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(AXIS),
+                check_vma=False,
             )
         )
         return fn(compiled, cam, seed_arr)

@@ -105,7 +105,8 @@ def trace_paths(
 
         with named_zone("rayColor"):
             hit = closest_hit(
-                scene, st.origin, st.direction, st.time, T_MIN, INF
+                scene, st.origin, st.direction, st.time, T_MIN, INF,
+                active=st.alive,
             )
         det = hit_details(scene, hit, st.origin, st.direction, st.time)
 
@@ -212,5 +213,17 @@ def trace_paths(
             alive=survives,
         )
 
-    final = jax.lax.fori_loop(0, max_depth, bounce, state)
+    # while_loop instead of fori_loop: the wavefront exits as soon as every
+    # path has terminated (miss/emissive/absorption), which is typically far
+    # before max_depth (the reference's recursion simply unwinds,
+    # src/render.zig:199).
+    def cond(carry):
+        depth, st = carry
+        return (depth < max_depth) & jnp.any(st.alive)
+
+    def body(carry):
+        depth, st = carry
+        return depth + 1, bounce(depth, st)
+
+    _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     return final.radiance

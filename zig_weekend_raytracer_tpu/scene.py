@@ -179,8 +179,6 @@ _ARRAY_FIELDS = [
     "tex_type", "tex_rgb", "tex_inv_scale", "tex_even", "tex_odd", "tex_img",
     # image atlas (channel planes)
     "atlas_r", "atlas_g", "atlas_b", "atlas_wh",
-    # lights
-    "light_kind", "light_idx",
     # background
     "background",
     # linearized BVH (over unified prim list); degenerate when not built
@@ -189,8 +187,9 @@ _ARRAY_FIELDS = [
 ]
 
 _STATIC_FIELDS = [
-    "n_spheres", "n_quads", "n_lights", "n_materials", "n_textures",
+    "n_spheres", "n_quads", "n_materials", "n_textures",
     "has_moving", "has_bvh", "max_leaf_size", "has_image_textures",
+    "lights",
 ]
 
 
@@ -234,9 +233,6 @@ class CompiledScene:
     atlas_g: jnp.ndarray
     atlas_b: jnp.ndarray
     atlas_wh: jnp.ndarray
-    # lights
-    light_kind: jnp.ndarray
-    light_idx: jnp.ndarray
     # background
     background: V3
     # BVH
@@ -250,17 +246,24 @@ class CompiledScene:
     # static metadata
     n_spheres: int = 0
     n_quads: int = 0
-    n_lights: int = 0
     n_materials: int = 0
     n_textures: int = 0
     has_moving: bool = False
     has_bvh: bool = False
     max_leaf_size: int = 4
     has_image_textures: bool = False
+    # Importance-sampled light list as STATIC ((kind, idx), ...) — the list
+    # is tiny and static dispatch lets each slot evaluate only its own
+    # primitive kind (reference: Scene.lights, src/scene.zig:43).
+    lights: Tuple[Tuple[int, int], ...] = ()
+
+    @property
+    def n_lights(self) -> int:
+        return len(self.lights)
 
     @property
     def has_lights(self) -> bool:
-        return self.n_lights > 0
+        return len(self.lights) > 0
 
 
 def _scene_flatten(s: CompiledScene):
@@ -618,13 +621,7 @@ def _compile_tables(
     atlas_g = np.ascontiguousarray(atlas[..., 1])
     atlas_b = np.ascontiguousarray(atlas[..., 2])
 
-    n_l = len(light_entries)
-    l_pad = max(n_l, 1)
-    light_kind = np.zeros((l_pad,), _I)
-    light_idx = np.zeros((l_pad,), _I)
-    for i, (k, idx) in enumerate(light_entries):
-        light_kind[i] = k
-        light_idx[i] = idx
+    lights = tuple((int(k), int(idx)) for k, idx in light_entries)
 
     # BVH (built lazily in geometry.bvh; degenerate placeholder otherwise)
     from .geometry import bvh as _bvh
@@ -670,8 +667,6 @@ def _compile_tables(
         atlas_g=jnp.asarray(atlas_g),
         atlas_b=jnp.asarray(atlas_b),
         atlas_wh=jnp.asarray(atlas_wh),
-        light_kind=jnp.asarray(light_kind),
-        light_idx=jnp.asarray(light_idx),
         background=V3(jnp.asarray(bg[0]), jnp.asarray(bg[1]), jnp.asarray(bg[2])),
         bvh_min=_v3c(bvh_arrays["bvh_min"]),
         bvh_max=_v3c(bvh_arrays["bvh_max"]),
@@ -682,11 +677,11 @@ def _compile_tables(
         bvh_prim_idx=jnp.asarray(bvh_arrays["bvh_prim_idx"]),
         n_spheres=n_s,
         n_quads=n_q,
-        n_lights=n_l,
         n_materials=len(materials),
         n_textures=len(textures),
         has_moving=any(np.any(s["move"] != 0) for s in spheres),
         has_bvh=has_bvh,
         max_leaf_size=int(bvh_arrays.get("max_leaf_size", 4)),
         has_image_textures=any(t["kind"] == TEX_IMAGE for t in textures),
+        lights=lights,
     )
