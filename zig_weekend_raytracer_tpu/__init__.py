@@ -30,10 +30,13 @@ import os as _os
 # take tens of seconds (they run on the far side of the device tunnel), so
 # cache them across processes.  Opt out with ZWRT_NO_COMPILE_CACHE=1.
 if not _os.environ.get("ZWRT_NO_COMPILE_CACHE"):
-    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zwrt_jax_cache")
-    _os.environ.setdefault(
-        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2"
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/zwrt_jax_cache"),
     )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from . import dtypes
 from . import math

@@ -26,6 +26,8 @@ lane-utilized on the VPU.
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -81,12 +83,31 @@ def closest_hit(
 ) -> Hit:
     """Closest hit for a ray wavefront.  ``active`` (bool (N,), optional)
     lets terminated paths skip BVH traversal entirely, shortening the
-    lockstep while_loop once most of the wavefront is dead."""
+    lockstep while_loop once most of the wavefront is dead.
+
+    On TPU the fused Pallas kernel (ops/pallas_trace.py) handles all tracing
+    (scene resident in VMEM, zero HBM traffic per primitive).  The XLA
+    formulations below remain the portable path (CPU tests, interpreters).
+    """
+    if _use_pallas_backend():
+        from .pallas_trace import closest_hit_pallas
+
+        t, kind, idx = closest_hit_pallas(
+            scene, origin, direction, time, t_min, active=active
+        )
+        return Hit(t=t, kind=kind, idx=idx)
     if scene.has_bvh:
         return _closest_hit_bvh(
             scene, origin, direction, time, t_min, t_max, active
         )
     return _closest_hit_brute(scene, origin, direction, time, t_min, t_max)
+
+
+@functools.lru_cache(maxsize=1)
+def _use_pallas_backend() -> bool:
+    if os.environ.get("ZWRT_NO_PALLAS"):
+        return False
+    return jax.default_backend() != "cpu"
 
 
 # ---------------------------------------------------------------------------

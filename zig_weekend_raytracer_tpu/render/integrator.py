@@ -39,14 +39,11 @@ import jax
 import jax.numpy as jnp
 
 from ..dtypes import INF, T_MIN, real
-from ..materials import (
-    emitted as mat_emitted,
-    schlick_reflectance,
-    scattering_pdf,
-)
+from ..materials import schlick_reflectance, scattering_pdf
 from ..math import v3
 from ..math.v3 import V3
-from ..ops.trace import closest_hit, hit_details
+from ..ops.shade import shade_attrs
+from ..ops.trace import closest_hit
 from ..sampling import hashrng
 from ..scene import (
     MAT_DIELECTRIC,
@@ -55,7 +52,7 @@ from ..scene import (
     MAT_METAL,
     CompiledScene,
 )
-from ..textures import texture_value
+from ..textures import atlas_lookup, checker_parity
 from ..utils.profiler import named_zone
 from .pdfs import light_pdf_value, sample_light_direction
 
@@ -72,6 +69,41 @@ class PathState(NamedTuple):
     throughput: V3
     radiance: V3
     alive: jnp.ndarray       # (N,) bool
+    ray_id: jnp.ndarray      # (N,) u32 RNG content address (travels with ray)
+    slot: jnp.ndarray        # (N,) i32 original wavefront position
+
+
+def _compact(st: PathState) -> PathState:
+    """Stream compaction: permute live paths to the front of the wavefront.
+
+    Paths die in spatially coherent clusters (sky misses, absorbed regions),
+    so compaction turns them into all-dead tail tiles that the Pallas trace
+    kernel skips wholesale.  Pure data movement (cumsum + scatter) — the
+    estimator is untouched because radiance/RNG addresses travel with the
+    path and the final image is unpermuted through ``slot``.
+    """
+    alive_i = st.alive.astype(jnp.int32)
+    n_alive = jnp.sum(alive_i)
+    pos_alive = jnp.cumsum(alive_i) - 1
+    pos_dead = n_alive + jnp.cumsum(1 - alive_i) - 1
+    pos = jnp.where(st.alive, pos_alive, pos_dead)
+
+    def pv(x):
+        return jnp.zeros_like(x).at[pos].set(x)
+
+    def pv3(v: V3) -> V3:
+        return V3(pv(v.x), pv(v.y), pv(v.z))
+
+    return PathState(
+        origin=pv3(st.origin),
+        direction=pv3(st.direction),
+        time=pv(st.time),
+        throughput=pv3(st.throughput),
+        radiance=pv3(st.radiance),
+        alive=pv(st.alive),
+        ray_id=pv(st.ray_id),
+        slot=pv(st.slot),
+    )
 
 
 def trace_paths(
@@ -83,6 +115,10 @@ def trace_paths(
     ray_id: jnp.ndarray,     # (N,) u32 global ray ids
     max_depth: int,
     terminate_zero_throughput: bool = True,
+    # Stream compaction exists but is off: XLA scatter on TPU measured far
+    # slower than the dead-ray work it saves; the kernel's tile-skip handles
+    # spatially coherent death for free.
+    compact: bool = False,
 ) -> V3:
     """Estimate radiance for a wavefront of rays.  Returns V3 of (N,)."""
     n = origin.shape[0]
@@ -93,9 +129,12 @@ def trace_paths(
         throughput=V3.full((n,), 1.0, 1.0, 1.0, real),
         radiance=V3.zeros((n,), real),
         alive=jnp.ones((n,), bool),
+        ray_id=ray_id,
+        slot=jnp.arange(n, dtype=jnp.int32),
     )
 
     def bounce(depth, st: PathState) -> PathState:
+        ray_id = st.ray_id
         # Per-bounce decorrelation: the (traced) depth folds into the stream
         # index — every draw is a pure function of (seed, ray_id, site).
         site = _BOUNCE_BASE + depth * _SITES_PER_BOUNCE
@@ -108,7 +147,7 @@ def trace_paths(
                 scene, st.origin, st.direction, st.time, T_MIN, INF,
                 active=st.alive,
             )
-        det = hit_details(scene, hit, st.origin, st.direction, st.time)
+        det = shade_attrs(scene, hit, st.origin, st.direction, st.time)
 
         hit_any = hit.kind >= 0
         hitmask = st.alive & hit_any
@@ -120,11 +159,18 @@ def trace_paths(
             V3.zeros((n,), real),
         )
 
-        mat_id = det.mat
-        mat_type = scene.mat_type[mat_id]
-        tex_rgb = texture_value(
-            scene, scene.mat_tex[mat_id], det.u, det.v, det.point
+        mat_type = det.mat_type
+
+        # ---- texture value from the denormalized record ----
+        # solid -> rgb; checker -> lattice parity picks rgb/rgb2
+        # (src/texture.zig:111-118); image -> atlas fetch
+        parity = checker_parity(det.inv_scale, det.point)
+        tex_rgb = V3.where(
+            (det.tex_kind == 1) & (parity != 0), det.rgb2, det.rgb
         )
+        if scene.has_image_textures:
+            img_rgb = atlas_lookup(scene, det.img, det.u, det.v)
+            tex_rgb = V3.where(det.tex_kind == 2, img_rgb, tex_rgb)
 
         # ---- emission (src/render.zig:232-240) ----
         is_emissive = mat_type == MAT_DIFFUSE_LIGHT
@@ -134,13 +180,13 @@ def trace_paths(
         )
 
         # ---- metal (src/material.zig:163-178) ----
-        fuzz = jnp.clip(scene.mat_fuzz[mat_id], 0.0, 1.0)
+        fuzz = jnp.clip(det.fuzz, 0.0, 1.0)
         reflected = v3.reflect(st.direction, det.normal)
         metal_dir = reflected + hashrng.unit_sphere(gauss) * fuzz
         metal_ok = v3.dot(metal_dir, det.normal) > 0.0
 
         # ---- dielectric (src/material.zig:190-218) ----
-        ri = scene.mat_refract[mat_id]
+        ri = det.refract
         index = jnp.where(det.front, 1.0 / ri, ri)
         unit_in = v3.normalize(st.direction)
         cos_theta = jnp.minimum(v3.dot(-unit_in, det.normal), 1.0)
@@ -190,7 +236,7 @@ def trace_paths(
         one = V3.full((n,), 1.0, 1.0, 1.0, real)
         mult = V3.where(
             is_metal,
-            scene.mat_albedo[mat_id],
+            det.rgb,  # metal albedo lives in the record's rgb slot
             V3.where(is_diel, one, diffuse_mult),
         )
 
@@ -204,14 +250,19 @@ def trace_paths(
             )
             survives = survives & nonzero
 
-        return PathState(
+        out = PathState(
             origin=V3.where(hitmask, det.point, st.origin),
             direction=V3.where(hitmask, new_dir, st.direction),
             time=st.time,
             throughput=throughput,
             radiance=radiance,
             alive=survives,
+            ray_id=st.ray_id,
+            slot=st.slot,
         )
+        if compact:
+            out = _compact(out)
+        return out
 
     # while_loop instead of fori_loop: the wavefront exits as soon as every
     # path has terminated (miss/emissive/absorption), which is typically far
@@ -226,4 +277,14 @@ def trace_paths(
         return depth + 1, bounce(depth, st)
 
     _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
-    return final.radiance
+    if not compact:
+        return final.radiance
+
+    # unpermute radiance back to wavefront order
+    rad = final.radiance
+    z = jnp.zeros((n,), real)
+    return V3(
+        z.at[final.slot].set(rad.x),
+        z.at[final.slot].set(rad.y),
+        z.at[final.slot].set(rad.z),
+    )

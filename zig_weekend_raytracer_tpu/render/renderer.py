@@ -112,6 +112,10 @@ class Renderer:
     seed: int = 0
     # Max rays in flight per chunk; bounds transient HBM.
     max_rays_per_chunk: int = 1 << 21
+    # BVH traversal keeps a larger live set inside its while_loop; beyond
+    # ~2^17 rays the TPU runtime falls over (observed worker crashes), so
+    # BVH scenes are chunked finer until the Pallas traversal kernel lands.
+    max_rays_per_chunk_bvh: int = 1 << 17
 
     def render(
         self,
@@ -142,14 +146,19 @@ class Renderer:
         has_dof = scene.camera.has_depth_of_field
         seed = jnp.uint32(self.seed)
 
+        from ..ops.trace import _use_pallas_backend
+
+        # The XLA while_loop BVH needs small wavefronts (worker instability
+        # beyond ~2^17 rays); the Pallas tracer used on TPU has no such limit.
+        max_rays = (
+            self.max_rays_per_chunk_bvh
+            if (scene.compiled.has_bvh and not _use_pallas_backend())
+            else self.max_rays_per_chunk
+        )
         # Chunk geometry: fit as many samples per chunk as possible, then
         # split rows if a single-sample pass is still too large.
-        spp_chunk = max(
-            1, min(spp, self.max_rays_per_chunk // max(width * height, 1))
-        )
-        band_rows = max(
-            1, min(height, self.max_rays_per_chunk // (width * spp_chunk))
-        )
+        spp_chunk = max(1, min(spp, max_rays // max(width * height, 1)))
+        band_rows = max(1, min(height, max_rays // (width * spp_chunk)))
         n_bands = -(-height // band_rows)
         n_chunks = -(-spp // spp_chunk)
 

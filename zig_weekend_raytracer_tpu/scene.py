@@ -181,6 +181,8 @@ _ARRAY_FIELDS = [
     "atlas_r", "atlas_g", "atlas_b", "atlas_wh",
     # background
     "background",
+    # denormalized per-prim shading records (see ops/shade.py)
+    "shade_rows", "shade_cols_sph", "shade_cols_quad",
     # linearized BVH (over unified prim list); degenerate when not built
     "bvh_min", "bvh_max", "bvh_miss", "bvh_leaf_start", "bvh_leaf_count",
     "bvh_prim_kind", "bvh_prim_idx",
@@ -235,6 +237,12 @@ class CompiledScene:
     atlas_wh: jnp.ndarray
     # background
     background: V3
+    # (n_spheres + n_quads, 32) packed per-prim shading records, plus the
+    # same data as per-kind 1D column tuples for small-scene select-chain
+    # gathers (see ops/shade.py)
+    shade_rows: jnp.ndarray
+    shade_cols_sph: tuple
+    shade_cols_quad: tuple
     # BVH
     bvh_min: V3
     bvh_max: V3
@@ -623,6 +631,92 @@ def _compile_tables(
 
     lights = tuple((int(k), int(idx)) for k, idx in light_entries)
 
+    # -- denormalized per-prim shading records (ops/shade.py) ------------
+    def _shade_block(mat_id: int) -> list:
+        m = materials[mat_id] if materials else {"type": MAT_LAMBERTIAN}
+        mt = m["type"]
+        tex_kind, img = TEX_SOLID, 0
+        rgb, rgb2 = (0.0, 0.0, 0.0), (0.0, 0.0, 0.0)
+        inv_scale, fz, refract = 0.0, 0.0, 1.0
+        if mt == MAT_METAL:
+            rgb = m.get("albedo", (0, 0, 0))
+            fz = m.get("fuzz", 0.0)
+        elif mt == MAT_DIELECTRIC:
+            refract = m.get("refract", 1.5)
+        else:  # lambertian / isotropic / diffuse-light: texture-driven
+            t = textures[m.get("tex", 0)] if textures else {"kind": TEX_SOLID, "rgb": (0, 0, 0)}
+            if t["kind"] == TEX_SOLID:
+                rgb = t["rgb"]
+            elif t["kind"] == TEX_CHECKER:
+                tex_kind = TEX_CHECKER
+                inv_scale = t["inv_scale"]
+
+                def _solid_rgb(tid):
+                    child = textures[tid]
+                    if child["kind"] != TEX_SOLID:
+                        # TPU fast path denormalizes one checker level; the
+                        # reference's scenes never nest further.
+                        import logging
+
+                        logging.getLogger("zwrt").warning(
+                            "checker child texture is not solid; using "
+                            "magenta debug color in the denormalized record"
+                        )
+                        return (1.0, 0.0, 1.0)
+                    return child["rgb"]
+
+                rgb = _solid_rgb(t["even"])
+                rgb2 = _solid_rgb(t["odd"])
+            else:
+                tex_kind = TEX_IMAGE
+                img = t["img"]
+        return [float(mt), float(tex_kind), float(img), *map(float, rgb),
+                *map(float, rgb2), float(inv_scale), float(fz), float(refract)]
+
+    sph_shade = np.array(
+        [_shade_block(s["mat"]) for s in spheres], _F
+    ).reshape(n_s, 12) if n_s else np.zeros((0, 12), _F)
+    quad_shade = np.array(
+        [_shade_block(q["mat"]) for q in quads], _F
+    ).reshape(n_q, 12) if n_q else np.zeros((0, 12), _F)
+
+    from .ops.shade import build_shade_rows
+
+    shade_rows = build_shade_rows(
+        {
+            "cx": sph_center[:n_s, 0], "cy": sph_center[:n_s, 1],
+            "cz": sph_center[:n_s, 2],
+            "mx": sph_move[:n_s, 0], "my": sph_move[:n_s, 1],
+            "mz": sph_move[:n_s, 2],
+            "r": sph_radius[:n_s],
+            "uv_cos": sph_uv_cos[:n_s], "uv_sin": sph_uv_sin[:n_s],
+        },
+        {
+            "sx": quad_start[:n_q, 0], "sy": quad_start[:n_q, 1],
+            "sz": quad_start[:n_q, 2],
+            "nx": quad_normal[:n_q, 0], "ny": quad_normal[:n_q, 1],
+            "nz": quad_normal[:n_q, 2],
+            "wx": quad_w[:n_q, 0], "wy": quad_w[:n_q, 1],
+            "wz": quad_w[:n_q, 2],
+            "ux": quad_u[:n_q, 0], "uy": quad_u[:n_q, 1],
+            "uz": quad_u[:n_q, 2],
+            "vx": quad_v[:n_q, 0], "vy": quad_v[:n_q, 1],
+            "vz": quad_v[:n_q, 2],
+        },
+        sph_shade,
+        quad_shade,
+    )
+    if shade_rows.shape[0] == 0:
+        shade_rows = np.zeros((1, shade_rows.shape[1]), _F)
+
+    def _cols(rows_np):
+        if rows_np.shape[0] == 0:
+            rows_np = np.zeros((1, shade_rows.shape[1]), _F)
+        return tuple(jnp.asarray(rows_np[:, i]) for i in range(rows_np.shape[1]))
+
+    shade_cols_sph = _cols(shade_rows[:n_s])
+    shade_cols_quad = _cols(shade_rows[n_s : n_s + n_q])
+
     # BVH (built lazily in geometry.bvh; degenerate placeholder otherwise)
     from .geometry import bvh as _bvh
 
@@ -668,6 +762,9 @@ def _compile_tables(
         atlas_b=jnp.asarray(atlas_b),
         atlas_wh=jnp.asarray(atlas_wh),
         background=V3(jnp.asarray(bg[0]), jnp.asarray(bg[1]), jnp.asarray(bg[2])),
+        shade_rows=jnp.asarray(shade_rows),
+        shade_cols_sph=shade_cols_sph,
+        shade_cols_quad=shade_cols_quad,
         bvh_min=_v3c(bvh_arrays["bvh_min"]),
         bvh_max=_v3c(bvh_arrays["bvh_max"]),
         bvh_miss=jnp.asarray(bvh_arrays["bvh_miss"]),

@@ -42,6 +42,33 @@ def _resolve_checker(scene: CompiledScene, tex_id, point: V3):
     return tex_id
 
 
+def atlas_lookup(scene: CompiledScene, img_id, u, v) -> V3:
+    """Nearest-neighbor atlas fetch, byte -> linear (gamma 2)
+    (reference: src/texture.zig:49-77)."""
+    w = scene.atlas_wh[img_id, 0]
+    h = scene.atlas_wh[img_id, 1]
+    uc = jnp.clip(u, 0.0, 1.0)
+    vc = 1.0 - jnp.clip(v, 0.0, 1.0)  # flip to image coords
+    x = jnp.clip((uc * w.astype(real)).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((vc * h.astype(real)).astype(jnp.int32), 0, h - 1)
+    scale = real(1.0 / 255.0)
+    texel = V3(
+        scene.atlas_r[img_id, y, x].astype(real) * scale,
+        scene.atlas_g[img_id, y, x].astype(real) * scale,
+        scene.atlas_b[img_id, y, x].astype(real) * scale,
+    )
+    return texel * texel  # gamma-2 linearize (math.zig:172-174)
+
+
+def checker_parity(inv_scale, point: V3) -> jnp.ndarray:
+    """3D lattice parity of the scaled hit point
+    (reference: src/texture.zig:111-116).  0 = even, 1 = odd."""
+    xi = jnp.floor(inv_scale * point.x).astype(jnp.int32)
+    yi = jnp.floor(inv_scale * point.y).astype(jnp.int32)
+    zi = jnp.floor(inv_scale * point.z).astype(jnp.int32)
+    return (xi + yi + zi) % 2
+
+
 def texture_value(
     scene: CompiledScene,
     tex_id: jnp.ndarray,  # (N,) i32
