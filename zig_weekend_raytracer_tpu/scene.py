@@ -177,8 +177,8 @@ _ARRAY_FIELDS = [
     "mat_type", "mat_tex", "mat_albedo", "mat_fuzz", "mat_refract",
     # textures
     "tex_type", "tex_rgb", "tex_inv_scale", "tex_even", "tex_odd", "tex_img",
-    # image atlas (channel planes)
-    "atlas_r", "atlas_g", "atlas_b", "atlas_wh",
+    # image atlas (channel planes + packed u32 plane)
+    "atlas_r", "atlas_g", "atlas_b", "atlas_packed", "atlas_wh",
     # background
     "background",
     # denormalized per-prim shading records (see ops/shade.py)
@@ -230,10 +230,11 @@ class CompiledScene:
     tex_even: jnp.ndarray
     tex_odd: jnp.ndarray
     tex_img: jnp.ndarray
-    # image atlas, one (I, H, W) u8 plane per channel
+    # image atlas, one (I, H, W) u8 plane per channel + packed u32 plane
     atlas_r: jnp.ndarray
     atlas_g: jnp.ndarray
     atlas_b: jnp.ndarray
+    atlas_packed: jnp.ndarray
     atlas_wh: jnp.ndarray
     # background
     background: V3
@@ -628,6 +629,12 @@ def _compile_tables(
     atlas_r = np.ascontiguousarray(atlas[..., 0])
     atlas_g = np.ascontiguousarray(atlas[..., 1])
     atlas_b = np.ascontiguousarray(atlas[..., 2])
+    # packed r|g<<8|b<<16 plane: one gather fetches the whole texel
+    atlas_packed = (
+        atlas_r.astype(np.uint32)
+        | (atlas_g.astype(np.uint32) << 8)
+        | (atlas_b.astype(np.uint32) << 16)
+    )
 
     lights = tuple((int(k), int(idx)) for k, idx in light_entries)
 
@@ -760,6 +767,7 @@ def _compile_tables(
         atlas_r=jnp.asarray(atlas_r),
         atlas_g=jnp.asarray(atlas_g),
         atlas_b=jnp.asarray(atlas_b),
+        atlas_packed=jnp.asarray(atlas_packed),
         atlas_wh=jnp.asarray(atlas_wh),
         background=V3(jnp.asarray(bg[0]), jnp.asarray(bg[1]), jnp.asarray(bg[2])),
         shade_rows=jnp.asarray(shade_rows),

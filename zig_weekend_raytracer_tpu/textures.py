@@ -51,11 +51,14 @@ def atlas_lookup(scene: CompiledScene, img_id, u, v) -> V3:
     vc = 1.0 - jnp.clip(v, 0.0, 1.0)  # flip to image coords
     x = jnp.clip((uc * w.astype(real)).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((vc * h.astype(real)).astype(jnp.int32), 0, h - 1)
+    # one gather of the packed r|g<<8|b<<16 texel (3x cheaper than three
+    # channel gathers: big-table gathers are serialized on TPU)
+    packed = scene.atlas_packed[img_id, y, x]
     scale = real(1.0 / 255.0)
     texel = V3(
-        scene.atlas_r[img_id, y, x].astype(real) * scale,
-        scene.atlas_g[img_id, y, x].astype(real) * scale,
-        scene.atlas_b[img_id, y, x].astype(real) * scale,
+        (packed & jnp.uint32(0xFF)).astype(real) * scale,
+        ((packed >> 8) & jnp.uint32(0xFF)).astype(real) * scale,
+        ((packed >> 16) & jnp.uint32(0xFF)).astype(real) * scale,
     )
     return texel * texel  # gamma-2 linearize (math.zig:172-174)
 
