@@ -30,15 +30,17 @@ def main() -> None:
         samples_per_pixel=spp, max_ray_bounce_depth=depth
     )
 
-    # warmup / compile (persistent cache makes this cheap on reruns)
+    # warmup / compile (persistent cache makes this cheap on reruns).
+    # NOTE: timing forces a host read — on the tunneled TPU backend,
+    # block_until_ready() returns before the device work completes.
     fb = renderer.render_device(scene, width, height)
-    fb.block_until_ready()
+    float(fb.sum())
 
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
         fb = renderer.render_device(scene, width, height)
-        fb.block_until_ready()
+        float(fb.sum())
         best = min(best, time.time() - t0)
 
     fb_host = np.asarray(fb)

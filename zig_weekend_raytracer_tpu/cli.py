@@ -88,7 +88,7 @@ def main(argv=None) -> int:
         fb = renderer.render(scene, args.image_width, args.image_height)
     timer.log_info_elapsed("scene rendered")
 
-    write_ppm(args.image_out_path, fb)
+    write_ppm(args.image_out_path, fb, n_threads=args.thread_pool_size)
     timer.log_info_elapsed("scene written to file")
     return 0
 

@@ -38,12 +38,16 @@ def _write_ppm_numpy(path: str, pixels_u8: np.ndarray) -> None:
         f.write(b"".join(lines.tolist()))
 
 
-def write_ppm(path: str, fb: np.ndarray) -> None:
-    """Write a linear-space framebuffer to a P3 PPM file."""
+def write_ppm(path: str, fb: np.ndarray, n_threads: int = 0) -> None:
+    """Write a linear-space framebuffer to a P3 PPM file.
+
+    ``n_threads`` sizes the native writer's pool (0 = hardware concurrency),
+    the analog of the reference's --thread_pool_size for its writer
+    (src/writer/writer.zig:29-50)."""
     pixels = encode_pixels(fb)
     from . import native
 
     if native.available():
-        native.write_ppm(path, pixels)
+        native.write_ppm(path, pixels, n_threads=n_threads)
     else:
         _write_ppm_numpy(path, pixels)
