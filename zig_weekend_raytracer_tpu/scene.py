@@ -183,6 +183,8 @@ _ARRAY_FIELDS = [
     "background",
     # denormalized per-prim shading records (see ops/shade.py)
     "shade_rows", "shade_cols_sph", "shade_cols_quad",
+    # per-block AABBs for kernel block culling
+    "sph_block_bounds", "quad_block_bounds",
     # linearized BVH (over unified prim list); degenerate when not built
     "bvh_min", "bvh_max", "bvh_miss", "bvh_leaf_start", "bvh_leaf_count",
     "bvh_prim_kind", "bvh_prim_idx",
@@ -244,6 +246,9 @@ class CompiledScene:
     shade_rows: jnp.ndarray
     shade_cols_sph: tuple
     shade_cols_quad: tuple
+    # (blocks, 8) per-primitive-block AABBs [min xyz, max xyz, pad]
+    sph_block_bounds: jnp.ndarray
+    quad_block_bounds: jnp.ndarray
     # BVH
     bvh_min: V3
     bvh_max: V3
@@ -537,10 +542,56 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _morton_code(points: np.ndarray) -> np.ndarray:
+    """30-bit 3D Morton codes for an (N, 3) point cloud (normalized to its
+    own bounding box)."""
+    lo = points.min(0)
+    span = np.maximum(points.max(0) - lo, 1e-12)
+    q = np.clip(((points - lo) / span * 1023.0), 0, 1023).astype(np.uint64)
+
+    def spread(v):
+        v = (v | (v << 16)) & np.uint64(0x030000FF)
+        v = (v | (v << 8)) & np.uint64(0x0300F00F)
+        v = (v | (v << 4)) & np.uint64(0x030C30C3)
+        v = (v | (v << 2)) & np.uint64(0x09249249)
+        return v
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+        spread(q[:, 2]) << np.uint64(2)
+    )
+
+
+def _morton_sort(prims: list, center_fn):
+    """Returns (sorted_prims, old->new index map)."""
+    if len(prims) < 2:
+        return prims, {i: i for i in range(len(prims))}
+    pts = np.stack([center_fn(p) for p in prims])
+    order = np.argsort(_morton_code(pts), kind="stable")
+    perm = {int(old): new for new, old in enumerate(order)}
+    return [prims[i] for i in order], perm
+
+
 def _compile_tables(
     spheres, quads, materials, textures, images, light_entries, background,
     build_bvh: bool,
 ) -> CompiledScene:
+    # Sort each primitive table along a Morton space-filling curve so that
+    # the Pallas tracer's fixed-size primitive blocks become spatially tight
+    # clusters; per-block AABBs then cull whole blocks per ray row
+    # (a two-level "BVH-lite" that fits the sublane-brute kernel).
+    spheres, sph_perm = _morton_sort(
+        spheres, lambda s: np.asarray(s["center"], np.float64)
+    )
+    quads, quad_perm = _morton_sort(
+        quads,
+        lambda q: np.asarray(q["start"], np.float64)
+        + 0.5 * (np.asarray(q["u"], np.float64) + np.asarray(q["v"], np.float64)),
+    )
+    light_entries = [
+        (k, sph_perm[i] if k == PRIM_SPHERE else quad_perm[i])
+        for k, i in light_entries
+    ]
+
     n_s, n_q = len(spheres), len(quads)
     # Pad tables to a multiple of 8 (>=1) so XLA gets friendly minor dims;
     # dummy prims are constructed to be unhittable.
@@ -724,6 +775,50 @@ def _compile_tables(
     shade_cols_sph = _cols(shade_rows[:n_s])
     shade_cols_quad = _cols(shade_rows[n_s : n_s + n_q])
 
+    # per-block AABBs for the Pallas tracer's block culling (blocks follow
+    # the kernel's _prim_block sizing over the Morton-sorted tables)
+    from .ops.pallas_trace import _prim_block
+
+    def _block_bounds(bmin_np, bmax_np, count):
+        pb = _prim_block(max(count, 1))
+        blocks = max(1, -(-max(count, 1) // pb))
+        out = np.zeros((blocks, 8), _F)
+        for b in range(blocks):
+            lo = b * pb
+            hi = min(count, lo + pb)
+            if hi > lo:
+                out[b, 0:3] = bmin_np[lo:hi].min(0)
+                out[b, 3:6] = bmax_np[lo:hi].max(0)
+            else:
+                out[b, 0:3] = 1e30
+                out[b, 3:6] = -1e30
+        return out
+
+    sph_lo = np.stack(
+        [
+            np.minimum(sph_center[:n_s] - sph_radius[:n_s, None],
+                       sph_center[:n_s] + sph_move[:n_s] - sph_radius[:n_s, None])
+        ]
+    )[0] if n_s else np.zeros((0, 3), _F)
+    sph_hi = np.stack(
+        [
+            np.maximum(sph_center[:n_s] + sph_radius[:n_s, None],
+                       sph_center[:n_s] + sph_move[:n_s] + sph_radius[:n_s, None])
+        ]
+    )[0] if n_s else np.zeros((0, 3), _F)
+    if n_q:
+        c0 = quad_start[:n_q]
+        c1 = c0 + quad_u[:n_q]
+        c2 = c0 + quad_v[:n_q]
+        c3 = c1 + quad_v[:n_q]
+        quad_lo = np.minimum(np.minimum(c0, c1), np.minimum(c2, c3))
+        quad_hi = np.maximum(np.maximum(c0, c1), np.maximum(c2, c3))
+    else:
+        quad_lo = np.zeros((0, 3), _F)
+        quad_hi = np.zeros((0, 3), _F)
+    sph_block_bounds = _block_bounds(sph_lo, sph_hi, n_s)
+    quad_block_bounds = _block_bounds(quad_lo, quad_hi, n_q)
+
     # BVH (built lazily in geometry.bvh; degenerate placeholder otherwise)
     from .geometry import bvh as _bvh
 
@@ -773,6 +868,8 @@ def _compile_tables(
         shade_rows=jnp.asarray(shade_rows),
         shade_cols_sph=shade_cols_sph,
         shade_cols_quad=shade_cols_quad,
+        sph_block_bounds=jnp.asarray(sph_block_bounds),
+        quad_block_bounds=jnp.asarray(quad_block_bounds),
         bvh_min=_v3c(bvh_arrays["bvh_min"]),
         bvh_max=_v3c(bvh_arrays["bvh_max"]),
         bvh_miss=jnp.asarray(bvh_arrays["bvh_miss"]),
