@@ -189,3 +189,41 @@ class TestHashRng:
         assert (z >= 0).all()
         # E[cos(theta)] under cosine weighting = 2/3
         assert abs(z.mean() - 2 / 3) < 0.01
+
+
+class TestSampleDimension:
+    """get1D/get2D parity path: scrambled Sobol for dimensions >= 2
+    (reference: src/math/sampler.zig:203-247)."""
+
+    def test_scrambled_uniform_and_deterministic(self):
+        from zig_weekend_raytracer_tpu.sampling.sampler import sample_dimension
+
+        idx = jnp.arange(1024, dtype=jnp.uint32)
+        hi = jnp.zeros_like(idx)
+        a = np.asarray(sample_dimension(hi, idx, 5, jnp.uint32(42)))
+        b = np.asarray(sample_dimension(hi, idx, 5, jnp.uint32(42)))
+        np.testing.assert_array_equal(a, b)
+        assert 0.0 <= a.min() and a.max() < 1.0
+        assert abs(a.mean() - 0.5) < 0.03
+        # different dimension or seed gives a different sequence
+        c = np.asarray(sample_dimension(hi, idx, 6, jnp.uint32(42)))
+        d = np.asarray(sample_dimension(hi, idx, 5, jnp.uint32(43)))
+        assert (a != c).any() and (a != d).any()
+
+    def test_unscrambled_matches_raw_sobol(self):
+        from zig_weekend_raytracer_tpu.sampling.sampler import sample_dimension
+
+        idx = jnp.arange(64, dtype=jnp.uint32)
+        hi = jnp.zeros_like(idx)
+        a = np.asarray(sample_dimension(hi, idx, 0, 0, scramble=False))
+        b = np.asarray(sobol.sobol_sample(hi, idx, 0))
+        np.testing.assert_array_equal(a, b)
+
+    def test_dimension_wraps_at_1024(self):
+        from zig_weekend_raytracer_tpu.sampling.sampler import sample_dimension
+
+        idx = jnp.arange(16, dtype=jnp.uint32)
+        hi = jnp.zeros_like(idx)
+        a = np.asarray(sample_dimension(hi, idx, 1024 + 3, 0, scramble=False))
+        b = np.asarray(sample_dimension(hi, idx, 3, 0, scramble=False))
+        np.testing.assert_array_equal(a, b)

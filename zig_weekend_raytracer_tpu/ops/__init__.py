@@ -3,4 +3,5 @@ with Pallas-fused variants where profitable.
 """
 
 from . import trace
-from .trace import Hit, closest_hit, hit_details
+from .shade import ShadeAttrs, shade_attrs
+from .trace import Hit, closest_hit

@@ -14,9 +14,9 @@ Two interchangeable strategies (selected by ``CompiledScene.has_bvh``):
     (reference: src/entity.zig:286-303).
 
 Both return a compact ``Hit`` (t, prim kind, prim index); shading attributes
-(point, normal, uv, material) are reconstructed once for the single winning
-primitive in ``hit_details`` — the wavefront analog of the reference's
-HitRecord (src/hitrecord.zig:6-21).
+(point, normal, uv, material/texture record) are fetched once for the single
+winning primitive in ``ops.shade.shade_attrs`` — the wavefront analog of the
+reference's HitRecord (src/hitrecord.zig:6-21).
 
 Ray vectors are ``math.v3.V3`` (separate x/y/z lanes).  During the
 brute-force inner loop rays are broadcast against primitive blocks as
@@ -53,15 +53,6 @@ class Hit(NamedTuple):
     t: jnp.ndarray       # (N,) f32, +inf on miss
     kind: jnp.ndarray    # (N,) i32, PRIM_SPHERE / PRIM_QUAD / -1 miss
     idx: jnp.ndarray     # (N,) i32 primitive index within its table
-
-
-class HitDetails(NamedTuple):
-    point: V3
-    normal: V3           # front-face oriented
-    front: jnp.ndarray   # (N,) bool
-    u: jnp.ndarray       # (N,)
-    v: jnp.ndarray       # (N,)
-    mat: jnp.ndarray     # (N,) i32
 
 
 def _sphere_center_at(scene: CompiledScene, idx, time) -> V3:
@@ -259,62 +250,3 @@ def _closest_hit_bvh(
     return Hit(
         t=jnp.where(missed, INF, final.t), kind=final.kind, idx=final.idx
     )
-
-
-# ---------------------------------------------------------------------------
-# Hit attribute reconstruction
-# ---------------------------------------------------------------------------
-
-def hit_details(
-    scene: CompiledScene,
-    hit: Hit,
-    origin: V3,
-    direction: V3,
-    time: jnp.ndarray,
-) -> HitDetails:
-    """Reconstruct shading attributes for the winning primitive only.
-
-    Sphere path: src/entity.zig:615-622 (+ UV from the object-space normal —
-    the baked-instancing equivalent of RotateY.hit's normal rotation,
-    src/entity.zig:185-186).  Quad path: src/entity.zig:487-499.
-    """
-    safe_t = jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)
-    point = origin + direction * safe_t
-
-    # clamp the winning index into each table (a quad idx is OOB for the
-    # sphere table and vice versa; both branches evaluate masked)
-    si = jnp.minimum(hit.idx, scene.sph_radius.shape[0] - 1)
-    qi = jnp.minimum(hit.idx, scene.quad_offset.shape[0] - 1)
-
-    # -- sphere attributes --
-    center = _sphere_center_at(scene, si, time)
-    inv_r = 1.0 / jnp.maximum(scene.sph_radius[si], 1e-20)
-    n_sph = (point - center) * inv_r
-    # object-space normal for UV (undo baked Y rotation)
-    c_rot = scene.sph_uv_cos[si]
-    s_rot = scene.sph_uv_sin[si]
-    n_obj = V3(
-        c_rot * n_sph.x - s_rot * n_sph.z,
-        n_sph.y,
-        s_rot * n_sph.x + c_rot * n_sph.z,
-    )
-    u_sph, v_sph = sphere_g.uv(n_obj)
-    mat_sph = scene.sph_mat[si]
-
-    # -- quad attributes --
-    n_quad = scene.quad_normal[qi]
-    planar = point - scene.quad_start[qi]
-    alpha = v3.dot(scene.quad_w[qi], v3.cross(planar, scene.quad_v[qi]))
-    beta = v3.dot(scene.quad_w[qi], v3.cross(scene.quad_u[qi], planar))
-    mat_quad = scene.quad_mat[qi]
-
-    is_sphere = hit.kind == PRIM_SPHERE
-    outward = V3.where(is_sphere, n_sph, n_quad)
-    u = jnp.where(is_sphere, u_sph, alpha)
-    v = jnp.where(is_sphere, v_sph, beta)
-    mat = jnp.where(is_sphere, mat_sph, mat_quad)
-
-    # front-face flip (reference: src/hitrecord.zig:16-21)
-    front = v3.dot(direction, outward) < 0.0
-    normal = V3.where(front, outward, -outward)
-    return HitDetails(point=point, normal=normal, front=front, u=u, v=v, mat=mat)
