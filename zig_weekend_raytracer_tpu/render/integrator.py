@@ -139,7 +139,8 @@ def trace_paths(
         # index — every draw is a pure function of (seed, ray_id, site).
         site = _BOUNCE_BASE + depth * _SITES_PER_BOUNCE
         u0, u1, u2, u3 = hashrng.uniform4(seed, ray_id, site)
-        u4, u5, u6, _ = hashrng.uniform4(seed, ray_id, site + 1)
+        if scene.has_lights:
+            u4, u5, u6, _ = hashrng.uniform4(seed, ray_id, site + 1)
         gauss = hashrng.gauss3(seed, ray_id, site + 2)
 
         with named_zone("rayColor"):
