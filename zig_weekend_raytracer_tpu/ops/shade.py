@@ -28,7 +28,6 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..dtypes import real
 from ..geometry import sphere as sphere_g
 from ..math import v3
 from ..math.v3 import V3

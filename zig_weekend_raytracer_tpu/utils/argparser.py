@@ -23,7 +23,7 @@ import dataclasses
 import enum
 import io
 import typing
-from typing import Optional, Sequence, Type, TypeVar
+from typing import Sequence, Type, TypeVar
 
 T = TypeVar("T")
 
