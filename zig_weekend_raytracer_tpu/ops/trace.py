@@ -18,10 +18,12 @@ Both return a compact ``Hit`` (t, prim kind, prim index); shading attributes
 winning primitive in ``ops.shade.shade_attrs`` — the wavefront analog of the
 reference's HitRecord (src/hitrecord.zig:6-21).
 
-Ray vectors are ``math.v3.V3`` (separate x/y/z lanes).  During the
-brute-force inner loop rays are broadcast against primitive blocks as
-(N, B) matrices whose minor dim is the primitive block — fully
-lane-utilized on the VPU.
+Ray vectors are ``math.v3.V3`` (separate x/y/z lanes); every primitive is
+tested as broadcast scalars against the (N,) ray lanes, never as an (N, P)
+matrix (whose tiny minor dim would waste the 128-lane axis).  On TPU both
+strategies are superseded by the fused Pallas kernels in
+``ops/pallas_trace.py``; the XLA paths remain the portable reference
+implementation (CPU tests validate the Pallas kernels against them).
 """
 
 from __future__ import annotations
