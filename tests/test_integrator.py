@@ -120,3 +120,24 @@ def test_isotropic_scatters_uniformly():
     # isotropic can re-hit the plane repeatedly (scatters both hemispheres);
     # with albedo 1 and white sky everything still sums to ~1
     assert fb.mean() == pytest.approx(1.0, abs=0.05)
+
+
+def test_coplanar_light_zero_pdf_is_finite():
+    """Adversarial geometry: a lambertian ground coplanar with a quad light.
+    Light-sampled directions lie exactly in the surface plane, so both the
+    light PDF and the cosine scattering PDF vanish -> sample_pdf == 0.  The
+    0/0 must be guarded (terminate with zero weight, not NaN); the reference
+    debug-asserts here (src/render.zig:255-256)."""
+    b = SceneBuilder()
+    ground = b.lambertian(b.solid_color((0.7, 0.7, 0.7)))
+    light = b.diffuse_light(b.solid_color((10, 10, 10)))
+    b.add(b.quad((-50, 0, -50), (100, 0, 0), (0, 0, 100), ground))
+    lq = b.add(b.quad((200, 0, -5), (10, 0, 0), (0, 0, 10), light))
+    b.set_lights([lq])
+    b.set_background((0.1, 0.1, 0.1))
+    b.set_camera(Camera(look_from=(0, 3, 8), look_at=(0, 0, 0)))
+    scene = b.compile()
+    fb = Renderer(samples_per_pixel=16, max_ray_bounce_depth=6).render(
+        scene, 16, 16
+    )
+    assert np.isfinite(fb).all()

@@ -69,3 +69,29 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sample_sharding_non_dividing_spp(scene):
+    """spp=5 over 8 devices: shards are padded and masked."""
+    single = Renderer(samples_per_pixel=5, max_ray_bounce_depth=3, seed=0).render(
+        scene, 16, 16
+    )
+    fb = render_sharded(
+        scene, 16, 16, 5, max_depth=3, mesh=make_mesh(8), shard="samples",
+        seed=0,
+    )
+    np.testing.assert_allclose(np.asarray(fb), single, rtol=1e-4, atol=1e-6)
+
+
+def test_row_sharding_non_dividing_height(scene):
+    """height=13 over 8 devices: padded rows are rendered clamped and
+    sliced off."""
+    single = Renderer(samples_per_pixel=8, max_ray_bounce_depth=3, seed=0).render(
+        scene, 16, 13
+    )
+    fb = render_sharded(
+        scene, 16, 13, 8, max_depth=3, mesh=make_mesh(8), shard="rows",
+        seed=0,
+    )
+    assert fb.shape == (13, 16, 3)
+    np.testing.assert_allclose(np.asarray(fb), single, rtol=1e-4, atol=1e-6)

@@ -66,3 +66,19 @@ def test_mismatched_checkpoint_restarts(scene, tmp_path):
     )
     oneshot = r_other.render(scene, 12, 12)
     np.testing.assert_allclose(fb, oneshot, rtol=1e-5, atol=1e-7)
+
+
+def test_progressive_stratified_equals_oneshot(scene, tmp_path):
+    """STRATIFIED derives strata geometry from total spp; batching must not
+    change it (each batch passes spp=total and bounds validity instead)."""
+    from zig_weekend_raytracer_tpu.sampling.sampler import SamplerKind
+
+    base = Renderer(
+        samples_per_pixel=9, max_ray_bounce_depth=3, seed=4,
+        sampler=SamplerKind.STRATIFIED,
+    )
+    oneshot = base.render(scene, 8, 8)
+    ck = str(tmp_path / "ck_strat.npz")
+    prog = ProgressiveRenderer(renderer=base, checkpoint_path=ck)
+    fb = prog.render(scene, 8, 8, batch_spp=4)
+    np.testing.assert_allclose(fb, oneshot, rtol=1e-5, atol=1e-7)

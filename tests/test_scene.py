@@ -146,3 +146,16 @@ class TestCamera:
         radius = 10.0 * math.tan(math.radians(0.3))
         assert np.linalg.norm(ddu) == pytest.approx(radius, rel=1e-5)
         assert np.linalg.norm(ddv) == pytest.approx(radius, rel=1e-5)
+
+
+def test_rotate_of_translate_composition():
+    """rotate_y(translate(child)) must bake world = R @ (p + offset) — the
+    translate happens in the frame of the enclosing rotation (reference ray
+    transform order, src/entity.zig:93-99, :169-205)."""
+    b = SceneBuilder()
+    m = b.lambertian(b.solid_color((1, 1, 1)))
+    b.add(b.rotate_y(90.0, b.translate((1, 0, 0), b.sphere((0, 0, 0), 1, m))))
+    c = b.compile().compiled
+    # p + offset = (1,0,0); rotate_y(90): x' = cos*x + sin*z = 0, z' = -1
+    assert float(c.sph_center.x[0]) == pytest.approx(0.0, abs=1e-6)
+    assert float(c.sph_center.z[0]) == pytest.approx(-1.0, abs=1e-6)

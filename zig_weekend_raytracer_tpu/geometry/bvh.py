@@ -167,3 +167,83 @@ def build_bvh(
         "bvh_prim_idx": np.array(prim_idx, _I),
         "max_leaf_size": max_leaf_size,
     }
+
+
+# ---------------------------------------------------------------------------
+# Group tree: the TPU-kernel acceleration structure
+# ---------------------------------------------------------------------------
+
+def build_group_tree(bmins: np.ndarray, bmaxs: np.ndarray, group_size: int = 8):
+    """Preorder skip-link tree whose leaves each hold exactly ONE sublane
+    group of ``group_size`` primitives (padded with -1 slots).
+
+    This is the acceleration structure the Pallas traversal kernel walks
+    (ops/pallas_trace.py): the tile-lockstep traversal tests one node AABB
+    against a whole ray tile, so leaves are sized to the kernel's native
+    8-primitives-per-sublane-group unit — one leaf visit costs exactly one
+    brute-force group step.  Splits are median on the longest axis like the
+    reference's BVH build (src/entity.zig:240-253), but the median is
+    rounded to a group multiple so almost every leaf is full.
+
+    Returns dict with:
+      * ``node_box``  (n_nodes, 6) f32  [min xyz, max xyz]
+      * ``node_link`` (n_nodes, 2) i32  [miss link, leaf group id or -1]
+      * ``prim_slots`` (n_groups * group_size,) i32 original primitive index
+        per leaf slot, -1 for padding.
+    """
+    n = int(bmins.shape[0])
+    assert n > 0
+
+    def build(span: np.ndarray) -> _Tree:
+        bmin = bmins[span].min(0)
+        bmax = bmaxs[span].max(0)
+        if span.shape[0] <= group_size:
+            return _Tree(bmin, bmax, prims=list(span))
+        axis = int(np.argmax(bmax - bmin))
+        key = bmins[span, axis]
+        span = span[np.argsort(key, kind="stable")]
+        # median rounded to a group multiple -> left subtree packs full
+        # leaves; only the rightmost leaf of the whole tree can be partial
+        mid = (span.shape[0] // 2 + group_size - 1) // group_size * group_size
+        mid = min(mid, span.shape[0] - 1)
+        return _Tree(
+            bmin, bmax, left=build(span[:mid]), right=build(span[mid:])
+        )
+
+    root = build(np.arange(n))
+
+    n_nodes = root.size
+    node_box = np.zeros((n_nodes, 6), _F)
+    node_link = np.zeros((n_nodes, 2), _I)
+    slots: List[int] = []
+    cursor = [0]
+
+    def emit(node: _Tree, miss: int) -> None:
+        i = cursor[0]
+        cursor[0] += 1
+        node_box[i, 0:3] = node.bmin
+        node_box[i, 3:6] = node.bmax
+        node_link[i, 0] = miss
+        if node.prims is not None:
+            node_link[i, 1] = len(slots) // group_size
+            slots.extend(int(p) for p in node.prims)
+            slots.extend([-1] * (group_size - len(node.prims)))
+        else:
+            node_link[i, 1] = -1
+            emit(node.left, miss=i + 1 + node.left.size)
+            emit(node.right, miss=miss)
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 4 * n_nodes + 64))
+    try:
+        emit(root, miss=n_nodes)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    return {
+        "node_box": node_box,
+        "node_link": node_link,
+        "prim_slots": np.array(slots, _I),
+    }

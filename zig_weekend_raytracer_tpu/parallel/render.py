@@ -4,6 +4,16 @@ Because all randomness is content-addressed by global ray id
 (sampling/hashrng.py), the sharded render is bitwise-identical to the
 single-device render — this is verified by the chip-count-invariance tests
 (tests/test_parallel.py), the distributed analog of golden-image testing.
+
+Each device reuses the single-chip (row-band x sample-chunk) wavefront
+machinery (``render.renderer._render_band``) inside its shard, so per-chip
+transient HBM is bounded by ``max_rays_per_chunk`` exactly like the
+single-chip path — a 400x400 @1000spp render sharded 8 ways never
+materializes more than one chunk of rays per chip.  Neither ``spp`` nor
+``height`` needs to divide the device count: shards are padded and the
+padded samples/rows are masked out (samples) or sliced off (rows), the
+multi-chip analog of the reference's arbitrary work decomposition
+(src/render.zig:55-73).
 """
 
 from __future__ import annotations
@@ -15,29 +25,15 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..dtypes import real
-from ..render.camera import camera_params, generate_rays
-from ..render.integrator import trace_paths
-from ..render.renderer import ray_grid
+from ..render.camera import camera_params
+from ..render.renderer import Renderer, _render_band
 from ..sampling.sampler import SamplerKind
 from ..scene import Scene
 from .mesh import AXIS
 
 
-def _render_wavefront(
-    compiled, cam, seed, y0, width, height, rows, spp, sample0,
-    max_depth, sampler, has_dof, total_spp,
-):
-    """One full wavefront: ``rows`` image rows x ``spp`` samples; returns the
-    radiance *sum* over those samples, (rows, width, 3)."""
-    px, py, sidx, ray_id = ray_grid(width, height, y0, rows, sample0, spp)
-    origin, direction, time = generate_rays(
-        cam, has_dof, sampler, seed, ray_id, px, py, sidx,
-        total_spp, width, height,
-    )
-    radiance = trace_paths(
-        compiled, origin, direction, time, seed, ray_id, max_depth
-    )
-    return radiance.to_array().reshape(spp, rows, width, 3).sum(axis=0)
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
 
 
 def render_sharded(
@@ -50,6 +46,7 @@ def render_sharded(
     mesh: Optional[Mesh] = None,
     shard: str = "samples",
     seed: int = 0,
+    max_rays_per_chunk: int = 1 << 21,
 ):
     """Render across a device mesh.  Returns (H, W, 3) f32 averaged samples.
 
@@ -69,24 +66,40 @@ def render_sharded(
     cam = camera_params(scene.camera, width, height)
     has_dof = scene.camera.has_depth_of_field
     seed_arr = jnp.uint32(seed)
+    spp = samples_per_pixel
+
+    # Per-device chunk geometry (identical on every device; static).
+    chunker = Renderer(
+        samples_per_pixel=spp, max_rays_per_chunk=max_rays_per_chunk
+    )
 
     if shard == "samples":
-        if samples_per_pixel % n_dev:
-            raise ValueError(
-                f"spp={samples_per_pixel} must divide over {n_dev} devices"
-            )
-        spp_local = samples_per_pixel // n_dev
+        # Pad the sample axis: devices own ceil(spp / n_dev) sample indices
+        # each; indices >= spp are masked to zero inside _render_band.
+        spp_local = _cdiv(spp, n_dev)
+        spp_chunk, band_rows = chunker.chunk_geometry(
+            scene, width, height, spp_local
+        )
+        n_bands = _cdiv(height, band_rows)
+        n_chunks = _cdiv(spp_local, spp_chunk)
+        h_pad = n_bands * band_rows
 
         def worker(compiled, cam, seed):
             di = jax.lax.axis_index(AXIS)
-            fb = _render_wavefront(
-                compiled, cam, seed,
-                y0=jnp.int32(0), width=width, height=height, rows=height,
-                spp=spp_local, sample0=(di * spp_local).astype(jnp.int32),
-                max_depth=max_depth, sampler=sampler, has_dof=has_dof,
-                total_spp=samples_per_pixel,
-            )
-            return jax.lax.psum(fb, AXIS) / real(samples_per_pixel)
+            s0_base = (di * spp_local).astype(jnp.int32)
+            fb = jnp.zeros((h_pad, width, 3), real)
+            for b in range(n_bands):
+                for c in range(n_chunks):
+                    out = _render_band(
+                        compiled, cam, seed,
+                        jnp.int32(b * band_rows),
+                        s0_base + jnp.int32(c * spp_chunk),
+                        width=width, height=height, band_rows=band_rows,
+                        spp_chunk=spp_chunk, spp=spp, max_depth=max_depth,
+                        sampler=sampler, has_dof=has_dof,
+                    )
+                    fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
+            return jax.lax.psum(fb[:height], AXIS) / real(spp)
 
         fn = jax.jit(
             jax.shard_map(
@@ -97,28 +110,40 @@ def render_sharded(
         return fn(compiled, cam, seed_arr)
 
     if shard == "rows":
-        if height % n_dev:
-            raise ValueError(f"height={height} must divide over {n_dev} devices")
-        rows_local = height // n_dev
+        # Pad the row axis: devices own ceil(height / n_dev) rows each;
+        # ray_grid clamps padded rows and the result is sliced to height.
+        rows_local = _cdiv(height, n_dev)
+        spp_chunk, band_rows = chunker.chunk_geometry(
+            scene, width, rows_local, spp
+        )
+        band_rows = min(band_rows, rows_local)
+        n_bands = _cdiv(rows_local, band_rows)
+        n_chunks = _cdiv(spp, spp_chunk)
+        rows_pad = n_bands * band_rows
 
         def worker(compiled, cam, seed):
             di = jax.lax.axis_index(AXIS)
-            fb = _render_wavefront(
-                compiled, cam, seed,
-                y0=(di * rows_local).astype(jnp.int32),
-                width=width, height=height, rows=rows_local,
-                spp=samples_per_pixel, sample0=jnp.int32(0),
-                max_depth=max_depth, sampler=sampler, has_dof=has_dof,
-                total_spp=samples_per_pixel,
-            )
-            return fb / real(samples_per_pixel)
+            y0_base = (di * rows_local).astype(jnp.int32)
+            fb = jnp.zeros((rows_pad, width, 3), real)
+            for b in range(n_bands):
+                for c in range(n_chunks):
+                    out = _render_band(
+                        compiled, cam, seed,
+                        y0_base + jnp.int32(b * band_rows),
+                        jnp.int32(c * spp_chunk),
+                        width=width, height=height, band_rows=band_rows,
+                        spp_chunk=spp_chunk, spp=spp, max_depth=max_depth,
+                        sampler=sampler, has_dof=has_dof,
+                    )
+                    fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
+            return fb[:rows_local] / real(spp)
 
         fn = jax.jit(
             jax.shard_map(
-                worker, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(AXIS),
-                check_vma=False,
+                worker, mesh=mesh, in_specs=(P(), P(), P()),
+                out_specs=P(AXIS), check_vma=False,
             )
         )
-        return fn(compiled, cam, seed_arr)
+        return fn(compiled, cam, seed_arr)[:height]
 
     raise ValueError(f"unknown shard mode: {shard}")

@@ -224,7 +224,16 @@ def trace_paths(
             scatter_pdf = scattering_pdf(mat_type, det.normal, diff_dir)
             sample_pdf = scatter_pdf
 
-        diffuse_mult = tex_rgb * (scatter_pdf / sample_pdf)
+        # Guard sample_pdf == 0 (e.g. a light-sampled direction exactly in
+        # the plane of a coplanar lambertian: both the light PDF and the
+        # cosine PDF vanish).  The reference debug-asserts here
+        # (src/render.zig:255-256); we terminate the path with zero weight,
+        # which is the correct Monte-Carlo treatment of a zero-probability
+        # sample.
+        pdf_ok = sample_pdf > 0.0
+        diffuse_mult = tex_rgb * jnp.where(
+            pdf_ok, scatter_pdf / jnp.where(pdf_ok, sample_pdf, 1.0), 0.0
+        )
 
         # ---- combine by material type ----
         is_metal = mat_type == MAT_METAL

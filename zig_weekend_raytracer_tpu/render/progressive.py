@@ -78,13 +78,10 @@ class ProgressiveRenderer:
         while done < total_spp:
             spp_now = min(batch_spp, total_spp - done)
             # Render exactly [done, done+spp_now) using the SAME global
-            # sample indices an uninterrupted render would use.
-            sub = Renderer(
-                samples_per_pixel=total_spp,
-                max_ray_bounce_depth=self.renderer.max_ray_bounce_depth,
-                sampler=self.renderer.sampler,
-                seed=self.renderer.seed,
-                max_rays_per_chunk=self.renderer.max_rays_per_chunk,
+            # sample indices an uninterrupted render would use.  All chunking
+            # fields carry over (including the XLA-BVH wavefront cap).
+            sub = dataclasses.replace(
+                self.renderer, samples_per_pixel=total_spp
             )
             fb_sum += np.asarray(
                 _render_batch(sub, scene, width, height, done, spp_now)
@@ -118,11 +115,8 @@ def _render_batch(
     seed = jnp.uint32(renderer.seed)
     total_spp = renderer.samples_per_pixel
 
-    spp_chunk = max(
-        1, min(spp_now, renderer.max_rays_per_chunk // max(width * height, 1))
-    )
-    band_rows = max(
-        1, min(height, renderer.max_rays_per_chunk // (width * spp_chunk))
+    spp_chunk, band_rows = renderer.chunk_geometry(
+        scene, width, height, spp_now
     )
     n_bands = -(-height // band_rows)
     n_chunks = -(-spp_now // spp_chunk)
@@ -137,9 +131,14 @@ def _render_batch(
                 jnp.int32(b * band_rows), jnp.int32(s0),
                 width=width, height=height, band_rows=band_rows,
                 spp_chunk=spp_chunk,
-                spp=min(sample0 + spp_now, total_spp),
+                # spp stays the render TOTAL so samplers (notably STRATIFIED,
+                # whose strata geometry is sqrt(spp)) see the same geometry an
+                # uninterrupted render would; the batch's end index bounds
+                # validity instead.
+                spp=total_spp,
                 max_depth=renderer.max_ray_bounce_depth,
                 sampler=renderer.sampler, has_dof=has_dof,
+                sample_limit=min(sample0 + spp_now, total_spp),
             )
             fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
     return fb[:height]

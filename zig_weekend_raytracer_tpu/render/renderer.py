@@ -58,7 +58,7 @@ def ray_grid(width, height, band_y0, band_rows, sample0, spp_chunk):
     jax.jit,
     static_argnames=(
         "width", "height", "band_rows", "spp_chunk", "spp",
-        "max_depth", "sampler", "has_dof",
+        "max_depth", "sampler", "has_dof", "sample_limit",
     ),
 )
 def _render_band(
@@ -76,9 +76,16 @@ def _render_band(
     max_depth: int,
     sampler: SamplerKind,
     has_dof: bool,
+    sample_limit: int | None = None,
 ) -> jnp.ndarray:
     """Render one (row-band x sample-chunk) wavefront; returns the radiance
-    sum over the chunk's samples, shape (band_rows, width, 3)."""
+    sum over the chunk's samples, shape (band_rows, width, 3).
+
+    ``spp`` is the TOTAL samples-per-pixel of the render — samplers derive
+    their stratification geometry from it, so it must be identical across
+    chunked/progressive decompositions.  ``sample_limit`` (default ``spp``)
+    caps which sample indices contribute; progressive batches pass the end
+    of their batch here while keeping ``spp`` at the total."""
     with named_zone("Renderer::render"):
         px, py, sidx, ray_id = ray_grid(
             width, height, band_y0, band_rows, sample0, spp_chunk
@@ -93,7 +100,7 @@ def _render_band(
                 scene, origin, direction, time, seed, ray_id, max_depth
             )
         # Zero padded samples (last chunk when spp % spp_chunk != 0).
-        valid = sidx < spp
+        valid = sidx < (spp if sample_limit is None else sample_limit)
         rad = radiance.to_array() * valid[..., None]
         return rad.reshape(spp_chunk, band_rows, width, 3).sum(axis=0)
 
@@ -114,6 +121,24 @@ class Renderer:
     # ~2^17 rays the TPU runtime falls over (observed worker crashes), so
     # BVH scenes are chunked finer until the Pallas traversal kernel lands.
     max_rays_per_chunk_bvh: int = 1 << 17
+
+    def chunk_geometry(self, scene: Scene, width: int, height: int, spp_req: int):
+        """(spp_chunk, band_rows) chunk sizing shared by the one-shot and
+        progressive drivers, including the XLA-BVH wavefront cap."""
+        from ..ops.trace import _use_pallas_backend
+
+        # The XLA while_loop BVH needs small wavefronts (worker instability
+        # beyond ~2^17 rays); the Pallas tracer used on TPU has no such limit.
+        max_rays = (
+            self.max_rays_per_chunk_bvh
+            if (scene.compiled.has_bvh and not _use_pallas_backend())
+            else self.max_rays_per_chunk
+        )
+        # Fit as many samples per chunk as possible, then split rows if a
+        # single-sample pass is still too large.
+        spp_chunk = max(1, min(spp_req, max_rays // max(width * height, 1)))
+        band_rows = max(1, min(height, max_rays // (width * spp_chunk)))
+        return spp_chunk, band_rows
 
     def render(
         self,
@@ -144,19 +169,7 @@ class Renderer:
         has_dof = scene.camera.has_depth_of_field
         seed = jnp.uint32(self.seed)
 
-        from ..ops.trace import _use_pallas_backend
-
-        # The XLA while_loop BVH needs small wavefronts (worker instability
-        # beyond ~2^17 rays); the Pallas tracer used on TPU has no such limit.
-        max_rays = (
-            self.max_rays_per_chunk_bvh
-            if (scene.compiled.has_bvh and not _use_pallas_backend())
-            else self.max_rays_per_chunk
-        )
-        # Chunk geometry: fit as many samples per chunk as possible, then
-        # split rows if a single-sample pass is still too large.
-        spp_chunk = max(1, min(spp, max_rays // max(width * height, 1)))
-        band_rows = max(1, min(height, max_rays // (width * spp_chunk)))
+        spp_chunk, band_rows = self.chunk_geometry(scene, width, height, spp)
         n_bands = -(-height // band_rows)
         n_chunks = -(-spp // spp_chunk)
 

@@ -486,7 +486,11 @@ class SceneBuilder:
                 for ch in node.children:
                     walk(ch, R, t, yrot)
             elif isinstance(node, TranslateNode):
-                walk(node.child, R, t + node.offset, yrot)
+                # Compose under the accumulated rotation: the reference's
+                # Translate offsets the ray in the frame of its *enclosing*
+                # transforms (src/entity.zig:93-99), so a translate nested
+                # inside a rotate must bake world = R @ (p + offset).
+                walk(node.child, R, t + R @ node.offset, yrot)
             elif isinstance(node, RotateYNode):
                 Ry = _rot_y(node.angle_degrees)
                 # world = t + R @ (Ry @ p): compose rotations/offsets.
