@@ -173,7 +173,10 @@ def build_bvh(
 # Group tree: the TPU-kernel acceleration structure
 # ---------------------------------------------------------------------------
 
-def build_group_tree(bmins: np.ndarray, bmaxs: np.ndarray, group_size: int = 8):
+def build_group_tree(
+    bmins: np.ndarray, bmaxs: np.ndarray, group_size: int = 8,
+    leaf_groups: int = 1,
+):
     """Preorder skip-link tree whose leaves each hold exactly ONE sublane
     group of ``group_size`` primitives (padded with -1 slots).
 
@@ -185,26 +188,32 @@ def build_group_tree(bmins: np.ndarray, bmaxs: np.ndarray, group_size: int = 8):
     reference's BVH build (src/entity.zig:240-253), but the median is
     rounded to a group multiple so almost every leaf is full.
 
+    ``leaf_groups`` > 1 makes leaves span that many consecutive groups
+    (fatter leaves -> ~leaf_groups x fewer traversal steps, at the price of
+    coarser culling granularity).
+
     Returns dict with:
       * ``node_box``  (n_nodes, 6) f32  [min xyz, max xyz]
-      * ``node_link`` (n_nodes, 2) i32  [miss link, leaf group id or -1]
+      * ``node_link`` (n_nodes, 2) i32  [miss link, FIRST leaf group id or -1]
       * ``prim_slots`` (n_groups * group_size,) i32 original primitive index
-        per leaf slot, -1 for padding.
+        per leaf slot, -1 for padding; every leaf owns exactly
+        ``leaf_groups`` consecutive groups.
     """
     n = int(bmins.shape[0])
     assert n > 0
+    leaf_span = group_size * leaf_groups
 
     def build(span: np.ndarray) -> _Tree:
         bmin = bmins[span].min(0)
         bmax = bmaxs[span].max(0)
-        if span.shape[0] <= group_size:
+        if span.shape[0] <= leaf_span:
             return _Tree(bmin, bmax, prims=list(span))
         axis = int(np.argmax(bmax - bmin))
         key = bmins[span, axis]
         span = span[np.argsort(key, kind="stable")]
-        # median rounded to a group multiple -> left subtree packs full
+        # median rounded to a leaf-span multiple -> left subtree packs full
         # leaves; only the rightmost leaf of the whole tree can be partial
-        mid = (span.shape[0] // 2 + group_size - 1) // group_size * group_size
+        mid = (span.shape[0] // 2 + leaf_span - 1) // leaf_span * leaf_span
         mid = min(mid, span.shape[0] - 1)
         return _Tree(
             bmin, bmax, left=build(span[:mid]), right=build(span[mid:])
@@ -227,7 +236,7 @@ def build_group_tree(bmins: np.ndarray, bmaxs: np.ndarray, group_size: int = 8):
         if node.prims is not None:
             node_link[i, 1] = len(slots) // group_size
             slots.extend(int(p) for p in node.prims)
-            slots.extend([-1] * (group_size - len(node.prims)))
+            slots.extend([-1] * (leaf_span - len(node.prims)))
         else:
             node_link[i, 1] = -1
             emit(node.left, miss=i + 1 + node.left.size)

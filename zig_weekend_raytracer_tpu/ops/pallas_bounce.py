@@ -1,0 +1,902 @@
+"""Pallas TPU bounce megakernel: ONE kernel per bounce — closest-hit trace,
+shade-record fetch, RNG, material scatter, and the light-mixture PDF, fused.
+
+Why: the XLA formulation of the per-bounce work (ops/shade.py +
+render/integrator.py) round-trips path state through HBM across dozens of
+unfused elementwise passes and pays a serialized gather for the shade
+records — measured ~18x the cost of the trace itself on one v5e.  Fusing
+the whole bounce keeps every intermediate in VMEM/registers: per bounce,
+HBM sees the path state exactly twice (read + write).
+
+Per tile of BLK rays the kernel:
+  1. traces against the scene tables, brute (streamed sublane groups, small
+     tables) or group-tree (SMEM skip-link traversal, big tables) per
+     primitive kind — same math as ops/pallas_trace.py;
+  2. gathers the winning primitive's denormalized shade record with a
+     lane-LUT gather: the (P, 32) record table is laid out (32, R, 128) so
+     each column costs R row-selects + R lane shuffles (``take_along_axis``)
+     — ~1% of a trace for the biggest reference scene;
+  3. reconstructs hit attrs (point/normal/uv) — ops/shade.py math;
+  4. draws RNG with the same content-addressed PCG4D streams as
+     sampling/hashrng.py (bitwise-identical to the XLA integrator);
+  5. evaluates all five materials masked + the 50/50 light mixture with the
+     light list baked in as compile-time constants (scene.light_params),
+     mirroring render/integrator.py bounce-for-bounce (and thus the
+     reference's rayColor, src/render.zig:188-289).
+
+Image textures are the one thing NOT fused (the atlas is too large for
+in-kernel gathers): the kernel emits (u, v, img-or--1) per ray and the
+integrator multiplies the atlas color into throughput in one XLA pass —
+valid because image textures only modulate multiplicatively (lambertian /
+isotropic albedo).  Scenes with image-textured *emissive* materials fall
+back to the XLA integrator (no reference scene has one).
+
+Sphere UVs need acos/atan2, which Mosaic does not provide; `_atan2`/`_acos`
+are polynomial implementations (max abs err ~2e-7 rad — sub-texel for any
+realistic texture).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..dtypes import AABB_MAX_MULT, T_MIN_PDF, real
+from ..materials import schlick_reflectance, scattering_pdf
+from ..math import v3
+from ..math.v3 import V3
+from ..scene import (
+    MAT_DIELECTRIC,
+    MAT_DIFFUSE_LIGHT,
+    MAT_ISOTROPIC,
+    MAT_METAL,
+    PRIM_QUAD,
+    PRIM_SPHERE,
+    CompiledScene,
+)
+from ..sampling import hashrng
+from ..textures import checker_parity
+from ..geometry import quad as quad_g
+from ..geometry import sphere as sphere_g
+from .shade import (
+    _C_FUZZ,
+    _C_IMG,
+    _C_INVSCALE,
+    _C_MAT,
+    _C_REFRACT,
+    _C_RGB,
+    _C_RGB2,
+    _C_TEXKIND,
+)
+from .pallas_trace import (
+    BLK,
+    LANE,
+    ROWS,
+    _BIG,
+    _BIG_IDX,
+    _bcast,
+    _fresh_group_best,
+    _interpret,
+    _leaf_groups,
+    _quad_group_hits,
+    _reduce_group,
+    _sphere_group_hits,
+)
+
+# RNG stream-site layout — MUST match render/integrator.py.
+_BOUNCE_BASE = 8
+_SITES_PER_BOUNCE = 4
+
+# Unroll the brute group loop below this many groups; larger tables run a
+# fori_loop with dynamically indexed group tiles (identical math).
+_BRUTE_UNROLL_GROUPS = 32
+
+# trace strategy codes (static per scene+kind)
+TR_NONE = 0
+TR_BRUTE = 1
+TR_TREE = 2
+
+
+# ---------------------------------------------------------------------------
+# Kernel-safe inverse trig (Mosaic has no acos/atan2)
+# ---------------------------------------------------------------------------
+
+# minimax coefficients for atan(x), x in [-1, 1] (odd polynomial, degree 17;
+# max abs err ~2e-7 rad)
+_ATAN_C = (
+    0.99999344, -0.33329856, 0.19977912, -0.14223677,
+    0.10574801, -0.07218857, 0.04257684, -0.01616793, 0.00286623,
+)
+
+
+def _atan_unit(x):
+    """atan for |x| <= 1."""
+    z = x * x
+    acc = jnp.full_like(x, _ATAN_C[-1])
+    for c in _ATAN_C[-2::-1]:
+        acc = acc * z + c
+    return x * acc
+
+
+def _atan2(y, x):
+    """Full-quadrant atan2 built from the unit-range polynomial."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.where(swap, ax, ay)
+    den = jnp.maximum(jnp.where(swap, ay, ax), 1e-30)
+    r = _atan_unit(num / den)
+    r = jnp.where(swap, np.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0.0, np.float32(np.pi) - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _acos(x):
+    x = jnp.clip(x, -1.0, 1.0)
+    return _atan2(jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)), x)
+
+
+def _sphere_uv(n_obj: V3):
+    """Spherical UVs (kernel-safe twin of geometry/sphere.py:uv)."""
+    theta = _acos(jnp.clip(-n_obj.y, -1.0, 1.0))
+    phi = _atan2(-n_obj.z, n_obj.x) + np.float32(np.pi)
+    return phi * np.float32(0.5 / np.pi), theta * np.float32(1.0 / np.pi)
+
+
+# ---------------------------------------------------------------------------
+# Lane-LUT gather
+# ---------------------------------------------------------------------------
+
+def _lut_column(lut_ref, c: int, row, lane, n_rows: int):
+    """Gather column ``c`` of the (32, R, 128) LUT at per-lane flat indices
+    ``row * 128 + lane``: R lane-shuffles + R selects."""
+    out = jnp.zeros((ROWS, LANE), real)
+    for rr in range(n_rows):
+        tab = jnp.broadcast_to(lut_ref[c, rr].reshape(1, LANE), (ROWS, LANE))
+        shuffled = jnp.take_along_axis(tab, lane, axis=1)
+        out = jnp.where(row == rr, shuffled, out) if n_rows > 1 else shuffled
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Static light-list helpers (geometry baked in as constants)
+# ---------------------------------------------------------------------------
+
+def _static_light_pdf(light_params, origin: V3, direction: V3):
+    """EntityPdf.value with compile-time light geometry
+    (render/pdfs.py:light_pdf_value)."""
+    total = jnp.zeros(origin.shape, real)
+    for kind, p in light_params:
+        if kind == PRIM_SPHERE:
+            center = V3(*(np.float32(v) for v in p[:3]))
+            radius = np.float32(p[3])
+            _, valid = sphere_g.hit_t(
+                center, radius, origin, direction, T_MIN_PDF, jnp.inf
+            )
+            total = total + sphere_g.pdf_value(
+                center, radius, origin, direction, valid
+            )
+        else:
+            start = V3(*(np.float32(v) for v in p[0:3]))
+            eu = V3(*(np.float32(v) for v in p[3:6]))
+            ev = V3(*(np.float32(v) for v in p[6:9]))
+            nrm = V3(*(np.float32(v) for v in p[9:12]))
+            w = V3(*(np.float32(v) for v in p[12:15]))
+            total = total + quad_g.pdf_value(
+                start, nrm, w, eu, ev, np.float32(p[15]), np.float32(p[16]),
+                origin, direction, T_MIN_PDF,
+            )
+    return total / len(light_params)
+
+
+def _static_light_sample(light_params, origin: V3, u_choice, u1, u2) -> V3:
+    """EntityPdf.generate with compile-time light geometry
+    (render/pdfs.py:sample_light_direction)."""
+    n_l = len(light_params)
+    chosen = jnp.minimum((u_choice * n_l).astype(jnp.int32), n_l - 1)
+    out = V3.zeros(origin.shape)
+    for l, (kind, p) in enumerate(light_params):
+        if kind == PRIM_SPHERE:
+            d = sphere_g.sample_direction(
+                V3(*(np.float32(v) for v in p[:3])), np.float32(p[3]),
+                origin, u1, u2,
+            )
+        else:
+            d = quad_g.sample_direction(
+                V3(*(np.float32(v) for v in p[0:3])),
+                V3(*(np.float32(v) for v in p[3:6])),
+                V3(*(np.float32(v) for v in p[6:9])),
+                origin, u1, u2,
+            )
+        out = V3.where(chosen == l, d, out) if n_l > 1 else d
+    return out
+
+
+# ---------------------------------------------------------------------------
+# In-kernel trace (values in, values out)
+# ---------------------------------------------------------------------------
+
+def _make_ray_row(origin, direction, tmin, tm, r, *, with_quadratic):
+    ox = origin.x[r].reshape(1, LANE)
+    oy = origin.y[r].reshape(1, LANE)
+    oz = origin.z[r].reshape(1, LANE)
+    dx = direction.x[r].reshape(1, LANE)
+    dy = direction.y[r].reshape(1, LANE)
+    dz = direction.z[r].reshape(1, LANE)
+    t_min = tmin[r].reshape(1, LANE)
+    if with_quadratic:
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+    else:
+        a = inv_a = None
+    tmr = tm[r].reshape(1, LANE) if tm is not None else None
+    return (ox, oy, oz, dx, dy, dz, t_min, a, inv_a, tmr)
+
+
+def _tab_group_sphere(tab_ref, oi_ref, g, gid, *, has_moving):
+    """Build a sphere group dict from the packed (7, G, 8, 1) table.  ``gid``
+    None means identity = original index from ``oi_ref``."""
+    group = {
+        "cx": _bcast(tab_ref[0, g]), "cy": _bcast(tab_ref[1, g]),
+        "cz": _bcast(tab_ref[2, g]), "r": _bcast(tab_ref[3, g]),
+    }
+    if has_moving:
+        group["mx"] = _bcast(tab_ref[4, g])
+        group["my"] = _bcast(tab_ref[5, g])
+        group["mz"] = _bcast(tab_ref[6, g])
+    if gid is None:
+        group["gid"] = _bcast(oi_ref[g])
+        group["valid"] = jnp.full((8, LANE), True)
+    else:
+        group["gid"] = gid[0]
+        group["valid"] = gid[1]
+    return group
+
+
+def _tab_group_quad(tab_ref, oi_ref, g, gid):
+    group = {
+        "sx": _bcast(tab_ref[0, g]), "sy": _bcast(tab_ref[1, g]),
+        "sz": _bcast(tab_ref[2, g]),
+        "nx": _bcast(tab_ref[3, g]), "ny": _bcast(tab_ref[4, g]),
+        "nz": _bcast(tab_ref[5, g]),
+        "wx": _bcast(tab_ref[6, g]), "wy": _bcast(tab_ref[7, g]),
+        "wz": _bcast(tab_ref[8, g]),
+        "ux": _bcast(tab_ref[9, g]), "uy": _bcast(tab_ref[10, g]),
+        "uz": _bcast(tab_ref[11, g]),
+        "vx": _bcast(tab_ref[12, g]), "vy": _bcast(tab_ref[13, g]),
+        "vz": _bcast(tab_ref[14, g]),
+        "off": _bcast(tab_ref[15, g]),
+    }
+    if gid is None:
+        group["gid"] = _bcast(oi_ref[g])
+        group["valid"] = jnp.full((8, LANE), True)
+    else:
+        group["gid"] = gid[0]
+        group["valid"] = gid[1]
+    return group
+
+
+def _brute_pass(
+    kind_code, tab_ref, origin, direction, tmin, tm, t, kind, idx,
+    *, n_prims, has_moving,
+):
+    """Linear scan over the full VMEM-resident table (the fused twin of the
+    streamed kernels in ops/pallas_trace.py)."""
+    n_groups = tab_ref.shape[1]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
+    is_sphere = kind_code == PRIM_SPHERE
+    row_fn = _sphere_group_hits if is_sphere else _quad_group_hits
+
+    rows_t, rows_k, rows_i = [], [], []
+    for r in range(ROWS):
+        ray_row = _make_ray_row(
+            origin, direction, tmin, tm if (is_sphere and has_moving) else
+            None, r, with_quadratic=is_sphere,
+        )
+        t8, i8 = _fresh_group_best()
+
+        def group_step(k, t8, i8):
+            gidx = k * 8 + sub
+            gid = (gidx, gidx < n_prims)
+            if is_sphere:
+                group = _tab_group_sphere(
+                    tab_ref, None, k, gid, has_moving=has_moving
+                )
+            else:
+                group = _tab_group_quad(tab_ref, None, k, gid)
+            return row_fn(ray_row, group, t8, i8)
+
+        if n_groups <= _BRUTE_UNROLL_GROUPS:
+            for k in range(n_groups):
+                t8, i8 = group_step(k, t8, i8)
+        else:
+            t8, i8 = jax.lax.fori_loop(
+                0, n_groups,
+                lambda k, c: group_step(k, c[0], c[1]),
+                (t8, i8),
+            )
+        t_new, k_new, i_new = _reduce_group(
+            t8, i8, kind_code,
+            t[r].reshape(1, LANE),
+            kind[r].reshape(1, LANE),
+            idx[r].reshape(1, LANE),
+        )
+        rows_t.append(t_new)
+        rows_k.append(k_new)
+        rows_i.append(i_new)
+    return (
+        jnp.concatenate(rows_t, axis=0),
+        jnp.concatenate(rows_k, axis=0),
+        jnp.concatenate(rows_i, axis=0),
+    )
+
+
+def _tree_pass(
+    kind_code, box_ref, link_ref, tab_ref, oi_ref,
+    origin, direction, tmin, tm, alive, t, kind, idx,
+    *, n_nodes, has_moving, leaf_groups,
+):
+    """Tile-lockstep skip-link traversal (the fused twin of
+    ops/pallas_trace.py:_tree_kernel; reference: src/entity.zig:286-303)."""
+    is_sphere = kind_code == PRIM_SPHERE
+    row_fn = _sphere_group_hits if is_sphere else _quad_group_hits
+    inv_dx = 1.0 / direction.x
+    inv_dy = 1.0 / direction.y
+    inv_dz = 1.0 / direction.z
+
+    def visit_leaf(g0, t, kind, idx):
+        groups = []
+        for j in range(leaf_groups):
+            if is_sphere:
+                groups.append(_tab_group_sphere(
+                    tab_ref, oi_ref, g0 + j, None, has_moving=has_moving
+                ))
+            else:
+                groups.append(_tab_group_quad(tab_ref, oi_ref, g0 + j, None))
+        rows_t, rows_k, rows_i = [], [], []
+        for r in range(ROWS):
+            ray_row = _make_ray_row(
+                origin, direction, tmin,
+                tm if (is_sphere and has_moving) else None, r,
+                with_quadratic=is_sphere,
+            )
+            t8, i8 = _fresh_group_best()
+            for group in groups:
+                t8, i8 = row_fn(ray_row, group, t8, i8)
+            t_new, k_new, i_new = _reduce_group(
+                t8, i8, kind_code,
+                t[r].reshape(1, LANE),
+                kind[r].reshape(1, LANE),
+                idx[r].reshape(1, LANE),
+            )
+            rows_t.append(t_new)
+            rows_k.append(k_new)
+            rows_i.append(i_new)
+        return (
+            jnp.concatenate(rows_t, axis=0),
+            jnp.concatenate(rows_k, axis=0),
+            jnp.concatenate(rows_i, axis=0),
+        )
+
+    def body(carry):
+        node, t, kind, idx = carry
+        b0 = box_ref[node, 0]
+        b1 = box_ref[node, 1]
+        b2 = box_ref[node, 2]
+        b3 = box_ref[node, 3]
+        b4 = box_ref[node, 4]
+        b5 = box_ref[node, 5]
+        tx0 = (b0 - origin.x) * inv_dx
+        tx1 = (b3 - origin.x) * inv_dx
+        ty0 = (b1 - origin.y) * inv_dy
+        ty1 = (b4 - origin.y) * inv_dy
+        tz0 = (b2 - origin.z) * inv_dz
+        tz1 = (b5 - origin.z) * inv_dz
+        near = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), tmin),
+        )
+        far = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.minimum(jnp.maximum(tz0, tz1), t),
+        ) * AABB_MAX_MULT
+        box_hit = (far > near) & alive
+        any_hit = jnp.any(box_hit)
+        miss_link = link_ref[node, 0]
+        leaf_group = link_ref[node, 1]
+        is_leaf = leaf_group >= 0
+
+        t, kind, idx = jax.lax.cond(
+            is_leaf & any_hit,
+            lambda args: visit_leaf(leaf_group, *args),
+            lambda args: args,
+            (t, kind, idx),
+        )
+        nxt = jnp.where(any_hit & jnp.logical_not(is_leaf),
+                        node + 1, miss_link)
+        return nxt, t, kind, idx
+
+    _, t, kind, idx = jax.lax.while_loop(
+        lambda c: c[0] < n_nodes, body, (jnp.int32(0), t, kind, idx)
+    )
+    return t, kind, idx
+
+
+# ---------------------------------------------------------------------------
+# The fused kernel
+# ---------------------------------------------------------------------------
+
+def _bounce_kernel(
+    seed_ref, depth_ref,
+    *refs,
+    cfg,
+):
+    """One full integrator bounce for one ray tile.  Mirrors
+    render/integrator.py:bounce line-for-line (reference semantics:
+    src/render.zig:188-289).  ``cfg`` is the static scene configuration
+    (see _fused_call)."""
+    it = iter(range(len(refs)))
+    nxt = lambda: refs[next(it)]
+    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, time_ref, rid_ref,
+     thx_ref, thy_ref, thz_ref, rax_ref, ray_ref, raz_ref, alive_ref) = (
+        nxt() for _ in range(15)
+    )
+    lut_ref = nxt()
+    if cfg["sph_mode"] == TR_BRUTE:
+        s_tab = nxt()
+        s_box = s_link = s_oi = None
+    elif cfg["sph_mode"] == TR_TREE:
+        s_box, s_link, s_tab, s_oi = nxt(), nxt(), nxt(), nxt()
+    else:
+        s_tab = s_box = s_link = s_oi = None
+    if cfg["quad_mode"] == TR_BRUTE:
+        q_tab = nxt()
+        q_box = q_link = q_oi = None
+    elif cfg["quad_mode"] == TR_TREE:
+        q_box, q_link, q_tab, q_oi = nxt(), nxt(), nxt(), nxt()
+    else:
+        q_tab = q_box = q_link = q_oi = None
+    (nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref,
+     nthx_ref, nthy_ref, nthz_ref, nrax_ref, nray_ref, nraz_ref,
+     nalive_ref, uo_ref, vo_ref, io_ref) = (nxt() for _ in range(16))
+
+    shape = (ROWS, LANE)
+    alive_i = alive_ref[0]
+    any_alive = jnp.max(alive_i) > 0
+
+    @pl.when(jnp.logical_not(any_alive))
+    def _passthrough():
+        nox_ref[0] = ox_ref[0]
+        noy_ref[0] = oy_ref[0]
+        noz_ref[0] = oz_ref[0]
+        ndx_ref[0] = dx_ref[0]
+        ndy_ref[0] = dy_ref[0]
+        ndz_ref[0] = dz_ref[0]
+        nthx_ref[0] = thx_ref[0]
+        nthy_ref[0] = thy_ref[0]
+        nthz_ref[0] = thz_ref[0]
+        nrax_ref[0] = rax_ref[0]
+        nray_ref[0] = ray_ref[0]
+        nraz_ref[0] = raz_ref[0]
+        nalive_ref[0] = alive_i
+        uo_ref[0] = jnp.zeros(shape, real)
+        vo_ref[0] = jnp.zeros(shape, real)
+        io_ref[0] = jnp.full(shape, -1, jnp.int32)
+
+    @pl.when(any_alive)
+    def _run():
+        seed = seed_ref[0, 0]
+        depth = depth_ref[0, 0]
+        origin = V3(ox_ref[0], oy_ref[0], oz_ref[0])
+        direction = V3(dx_ref[0], dy_ref[0], dz_ref[0])
+        tm = time_ref[0]
+        rid = rid_ref[0]
+        throughput = V3(thx_ref[0], thy_ref[0], thz_ref[0])
+        radiance = V3(rax_ref[0], ray_ref[0], raz_ref[0])
+        alive = alive_i > 0
+        tmin_tile = jnp.full(shape, cfg["t_min"], real)
+
+        # ---- trace ----
+        ht = jnp.full(shape, _BIG, real)
+        hk = jnp.full(shape, -1, jnp.int32)
+        hi = jnp.zeros(shape, jnp.int32)
+        has_moving = cfg["has_moving"]
+        if cfg["sph_mode"] == TR_BRUTE:
+            ht, hk, hi = _brute_pass(
+                PRIM_SPHERE, s_tab, origin, direction, tmin_tile, tm,
+                ht, hk, hi, n_prims=cfg["n_sph"], has_moving=has_moving,
+            )
+        elif cfg["sph_mode"] == TR_TREE:
+            ht, hk, hi = _tree_pass(
+                PRIM_SPHERE, s_box, s_link, s_tab, s_oi,
+                origin, direction, tmin_tile, tm, alive, ht, hk, hi,
+                n_nodes=cfg["sph_nodes"], has_moving=has_moving,
+                leaf_groups=cfg["leaf_groups"],
+            )
+        if cfg["quad_mode"] == TR_BRUTE:
+            ht, hk, hi = _brute_pass(
+                PRIM_QUAD, q_tab, origin, direction, tmin_tile, None,
+                ht, hk, hi, n_prims=cfg["n_quad"], has_moving=False,
+            )
+        elif cfg["quad_mode"] == TR_TREE:
+            ht, hk, hi = _tree_pass(
+                PRIM_QUAD, q_box, q_link, q_tab, q_oi,
+                origin, direction, tmin_tile, None, alive, ht, hk, hi,
+                n_nodes=cfg["quad_nodes"], has_moving=False,
+                leaf_groups=cfg["leaf_groups"],
+            )
+
+        # ---- RNG (same streams as the XLA integrator) ----
+        site = (_BOUNCE_BASE + depth * _SITES_PER_BOUNCE).astype(jnp.uint32)
+        u0, u1, u2, u3 = hashrng.uniform4(seed, rid, site)
+        light_params = cfg["light_params"]
+        if light_params:
+            u4, u5, u6, _ = hashrng.uniform4(seed, rid, site + jnp.uint32(1))
+        gauss = hashrng.gauss3(seed, rid, site + jnp.uint32(2))
+
+        hit_any = hk >= 0
+        hitmask = alive & hit_any
+        missed = alive & jnp.logical_not(hit_any)
+
+        # ---- shade record gather ----
+        is_sphere = hk == PRIM_SPHERE
+        lut_rows = cfg["lut_rows"]
+        uidx = jnp.where(is_sphere, hi, cfg["n_sph"] + hi)
+        uidx = jnp.clip(uidx, 0, lut_rows * LANE - 1)
+        g_row = uidx // LANE
+        g_lane = uidx % LANE
+
+        def col(c):
+            return _lut_column(lut_ref, c, g_row, g_lane, lut_rows)
+
+        # geometry reconstruction (ops/shade.py:_attrs_from_columns)
+        safe_t = jnp.where(ht < _BIG, ht, 0.0)
+        point = origin + direction * safe_t
+
+        center = V3(col(0), col(1), col(2))
+        if has_moving:
+            center = center + V3(col(3), col(4), col(5)) * tm
+        inv_r = col(6)
+        n_sph_v = (point - center) * inv_r
+        q_normal = V3(col(3), col(4), col(5))
+
+        outward = V3.where(is_sphere, n_sph_v, q_normal)
+        front = v3.dot(direction, outward) < 0.0
+        normal = V3.where(front, outward, -outward)
+
+        mat_type = col(_C_MAT).astype(jnp.int32)
+        tex_kind = col(_C_TEXKIND).astype(jnp.int32)
+        rgb = V3(col(_C_RGB), col(_C_RGB + 1), col(_C_RGB + 2))
+        rgb2 = V3(col(_C_RGB2), col(_C_RGB2 + 1), col(_C_RGB2 + 2))
+        inv_scale = col(_C_INVSCALE)
+        fuzz_c = col(_C_FUZZ)
+        refract_c = col(_C_REFRACT)
+
+        background = cfg["background"]
+        radiance = radiance + V3.where(
+            missed,
+            throughput * V3(*(np.float32(b) for b in background)),
+            V3.zeros(shape, real),
+        )
+
+        # ---- texture value (solid / checker) ----
+        parity = checker_parity(inv_scale, point)
+        tex_rgb = V3.where((tex_kind == 1) & (parity != 0), rgb2, rgb)
+
+        # ---- emission (src/render.zig:232-240) ----
+        is_emissive = mat_type == MAT_DIFFUSE_LIGHT
+        emits = hitmask & is_emissive & front
+        radiance = V3.where(emits, radiance + throughput * tex_rgb, radiance)
+
+        # ---- metal (src/material.zig:163-178) ----
+        fuzz = jnp.clip(fuzz_c, 0.0, 1.0)
+        reflected = v3.reflect(direction, normal)
+        metal_dir = reflected + hashrng.unit_sphere(gauss) * fuzz
+        metal_ok = v3.dot(metal_dir, normal) > 0.0
+
+        # ---- dielectric (src/material.zig:190-218) ----
+        index = jnp.where(front, 1.0 / refract_c, refract_c)
+        unit_in = v3.normalize(direction)
+        cos_theta = jnp.minimum(v3.dot(-unit_in, normal), 1.0)
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+        must_reflect = (index * sin_theta > 1.0) | (
+            schlick_reflectance(cos_theta, refract_c) > u0
+        )
+        diel_dir = V3.where(
+            must_reflect,
+            v3.reflect(unit_in, normal),
+            v3.refract(unit_in, normal, index),
+        )
+
+        # ---- diffuse sampling ----
+        is_iso = mat_type == MAT_ISOTROPIC
+        basis = v3.ortho_basis(normal)
+        cosine_dir = v3.onb_transform(
+            basis, hashrng.cosine_direction_z(u1, u2)
+        )
+        sphere_dir = hashrng.unit_sphere(gauss)
+        mat_sample_dir = V3.where(is_iso, sphere_dir, cosine_dir)
+
+        if light_params:
+            light_dir = _static_light_sample(light_params, point, u4, u5, u6)
+            use_light = u3 < 0.5
+            diff_dir = V3.where(use_light, light_dir, mat_sample_dir)
+            mat_pdf = scattering_pdf(mat_type, normal, diff_dir)
+            l_pdf = _static_light_pdf(light_params, point, diff_dir)
+            sample_pdf = 0.5 * l_pdf + 0.5 * mat_pdf
+            scatter_pdf = mat_pdf
+        else:
+            diff_dir = mat_sample_dir
+            scatter_pdf = scattering_pdf(mat_type, normal, diff_dir)
+            sample_pdf = scatter_pdf
+
+        # sample_pdf == 0 guard (integrator.py; src/render.zig:255-256)
+        pdf_ok = sample_pdf > 0.0
+        pdf_ratio = jnp.where(
+            pdf_ok, scatter_pdf / jnp.where(pdf_ok, sample_pdf, 1.0), 0.0
+        )
+        is_img = tex_kind == 2
+        if cfg["has_images"]:
+            # atlas color is multiplied in by the integrator afterwards
+            diffuse_tex = V3.where(
+                is_img, V3.full(shape, 1.0, 1.0, 1.0, real), tex_rgb
+            )
+        else:
+            diffuse_tex = tex_rgb
+        diffuse_mult = diffuse_tex * pdf_ratio
+
+        # ---- combine by material type ----
+        is_metal = mat_type == MAT_METAL
+        is_diel = mat_type == MAT_DIELECTRIC
+        is_spec = is_metal | is_diel
+
+        new_dir = V3.where(
+            is_spec, V3.where(is_metal, metal_dir, diel_dir), diff_dir
+        )
+        one = V3.full(shape, 1.0, 1.0, 1.0, real)
+        mult = V3.where(is_metal, rgb, V3.where(is_diel, one, diffuse_mult))
+
+        survives = hitmask & ~is_emissive & ~(is_metal & ~metal_ok)
+        new_throughput = V3.where(survives, throughput * mult, throughput)
+        if cfg["terminate_zero"]:
+            nonzero = (
+                (new_throughput.x != 0.0)
+                | (new_throughput.y != 0.0)
+                | (new_throughput.z != 0.0)
+            )
+            survives = survives & nonzero
+
+        new_origin = V3.where(hitmask, point, origin)
+        new_direction = V3.where(hitmask, new_dir, direction)
+
+        nox_ref[0] = new_origin.x
+        noy_ref[0] = new_origin.y
+        noz_ref[0] = new_origin.z
+        ndx_ref[0] = new_direction.x
+        ndy_ref[0] = new_direction.y
+        ndz_ref[0] = new_direction.z
+        nthx_ref[0] = new_throughput.x
+        nthy_ref[0] = new_throughput.y
+        nthz_ref[0] = new_throughput.z
+        nrax_ref[0] = radiance.x
+        nray_ref[0] = radiance.y
+        nraz_ref[0] = radiance.z
+        nalive_ref[0] = survives.astype(jnp.int32)
+
+        # ---- image-texture info for the XLA fix-up pass ----
+        if cfg["has_images"]:
+            # sphere UVs with the object-space un-rotation (ops/shade.py)
+            c_rot = col(7)
+            s_rot = col(8)
+            n_obj = V3(
+                c_rot * n_sph_v.x - s_rot * n_sph_v.z,
+                n_sph_v.y,
+                s_rot * n_sph_v.x + c_rot * n_sph_v.z,
+            )
+            u_sph, v_sph = _sphere_uv(n_obj)
+            # quad UVs = plane coordinates (alpha, beta)
+            q_w = V3(col(6), col(7), col(8))
+            q_u = V3(col(9), col(10), col(11))
+            q_v = V3(col(12), col(13), col(14))
+            planar = point - V3(col(0), col(1), col(2))
+            alpha = v3.dot(q_w, v3.cross(planar, q_v))
+            beta = v3.dot(q_w, v3.cross(q_u, planar))
+            uo_ref[0] = jnp.where(is_sphere, u_sph, alpha)
+            vo_ref[0] = jnp.where(is_sphere, v_sph, beta)
+            # image id where this bounce applied a neutral albedo, else -1
+            apply_img = hitmask & is_img & ~is_spec & ~is_emissive
+            img_id = col(_C_IMG).astype(jnp.int32)
+            io_ref[0] = jnp.where(apply_img, img_id, -1)
+        else:
+            uo_ref[0] = jnp.zeros(shape, real)
+            vo_ref[0] = jnp.zeros(shape, real)
+            io_ref[0] = jnp.full(shape, -1, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+def supports_bounce_kernel(scene: CompiledScene) -> bool:
+    """The kernel handles every reference feature except image-textured
+    EMISSIVE materials (atlas emission would need in-kernel atlas access);
+    those scenes use the XLA integrator (no reference scene has one)."""
+    return not scene.has_emissive_image
+
+
+def _freeze(d):
+    return tuple(sorted(d.items()))
+
+
+def bounce_pallas(
+    scene: CompiledScene,
+    origin: V3, direction: V3, time, ray_id,
+    throughput: V3, radiance: V3, alive,
+    seed, depth, t_min,
+    terminate_zero: bool = True,
+):
+    """Run the fused bounce (trace included) for a wavefront.  Returns
+    (origin', direction', throughput', radiance', alive', (u, v, img))."""
+    n = origin.shape[0]
+    n_pad = -(-n // BLK) * BLK
+
+    def pad(x, fill=0.0):
+        if n_pad == n:
+            return x
+        return jnp.concatenate([x, jnp.full((n_pad - n,), fill, x.dtype)])
+
+    g = n_pad // BLK
+
+    def tile(x, fill=0.0):
+        return pad(x, fill).reshape(g, ROWS, LANE)
+
+    def smem_spec(shape):
+        return pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape),
+            memory_space=pltpu.SMEM,
+        )
+
+    def ray_spec():
+        return pl.BlockSpec(
+            (1, ROWS, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def const_spec(shape):
+        return pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    ins = [
+        jnp.asarray(seed, jnp.uint32).reshape(1, 1),
+        jnp.asarray(depth, jnp.int32).reshape(1, 1),
+        tile(origin.x), tile(origin.y), tile(origin.z),
+        tile(direction.x), tile(direction.y), tile(direction.z, 1.0),
+        tile(time), tile(ray_id),
+        tile(throughput.x), tile(throughput.y), tile(throughput.z),
+        tile(radiance.x), tile(radiance.y), tile(radiance.z),
+        tile(alive.astype(jnp.int32)),
+        scene.shade_lut,
+    ]
+    in_specs = [smem_spec((1, 1)), smem_spec((1, 1))] + [ray_spec()] * 15 + [
+        const_spec(scene.shade_lut.shape)
+    ]
+
+    def grouped(attrs):
+        """tuple of flat (G8,) arrays -> (n_attr, G, 8, 1) stacked tiles
+        (f32 attrs) + (G, 8, 1) identity (i32, last tuple entry)."""
+        f32s = jnp.stack(
+            [a.reshape(-1, 8, 1) for a in attrs[:-1]]
+        )
+        oi = attrs[-1].reshape(-1, 8, 1)
+        return f32s, oi
+
+    def brute_tab(flat_attrs):
+        """tuple of (S,) table columns -> (n_attr, G, 8, 1), zero-padded."""
+        s = flat_attrs[0].shape[0]
+        gpad = -(-s // 8) * 8
+        cols = []
+        for a in flat_attrs:
+            if gpad != s:
+                a = jnp.concatenate([a, jnp.zeros((gpad - s,), a.dtype)])
+            cols.append(a.reshape(-1, 8, 1))
+        return jnp.stack(cols)
+
+    cfg = {
+        "t_min": float(t_min),
+        "has_moving": scene.has_moving,
+        "has_images": scene.has_image_textures,
+        "terminate_zero": terminate_zero,
+        "n_sph": scene.n_spheres,
+        "n_quad": scene.n_quads,
+        "lut_rows": scene.shade_lut.shape[1],
+        "light_params": scene.light_params,
+        "background": scene.background_rgb,
+        "leaf_groups": _leaf_groups(),
+        "sph_nodes": scene.sph_tree_box.shape[0],
+        "quad_nodes": scene.quad_tree_box.shape[0],
+    }
+
+    if scene.has_sph_tree:
+        cfg["sph_mode"] = TR_TREE
+        tab, oi = grouped(scene.sph_tree_attrs)
+        ins += [scene.sph_tree_box, scene.sph_tree_link, tab, oi]
+        in_specs += [
+            smem_spec(scene.sph_tree_box.shape),
+            smem_spec(scene.sph_tree_link.shape),
+            const_spec(tab.shape), const_spec(oi.shape),
+        ]
+    elif scene.n_spheres > 0:
+        cfg["sph_mode"] = TR_BRUTE
+        tab = brute_tab((
+            scene.sph_center.x, scene.sph_center.y, scene.sph_center.z,
+            scene.sph_radius,
+            scene.sph_move.x, scene.sph_move.y, scene.sph_move.z,
+        ))
+        ins.append(tab)
+        in_specs.append(const_spec(tab.shape))
+    else:
+        cfg["sph_mode"] = TR_NONE
+
+    if scene.has_quad_tree:
+        cfg["quad_mode"] = TR_TREE
+        tab, oi = grouped(scene.quad_tree_attrs)
+        ins += [scene.quad_tree_box, scene.quad_tree_link, tab, oi]
+        in_specs += [
+            smem_spec(scene.quad_tree_box.shape),
+            smem_spec(scene.quad_tree_link.shape),
+            const_spec(tab.shape), const_spec(oi.shape),
+        ]
+    elif scene.n_quads > 0:
+        cfg["quad_mode"] = TR_BRUTE
+        tab = brute_tab((
+            scene.quad_start.x, scene.quad_start.y, scene.quad_start.z,
+            scene.quad_normal.x, scene.quad_normal.y, scene.quad_normal.z,
+            scene.quad_w.x, scene.quad_w.y, scene.quad_w.z,
+            scene.quad_u.x, scene.quad_u.y, scene.quad_u.z,
+            scene.quad_v.x, scene.quad_v.y, scene.quad_v.z,
+            scene.quad_offset,
+        ))
+        ins.append(tab)
+        in_specs.append(const_spec(tab.shape))
+    else:
+        cfg["quad_mode"] = TR_NONE
+
+    f32 = lambda: jax.ShapeDtypeStruct((g, ROWS, LANE), real)
+    i32 = lambda: jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32)
+    out_shape = [f32() for _ in range(12)] + [i32(), f32(), f32(), i32()]
+
+    outs = pl.pallas_call(
+        functools.partial(_bounce_kernel, cfg=cfg),
+        grid_spec=pl.GridSpec(
+            grid=(g,),
+            in_specs=in_specs,
+            out_specs=[ray_spec()] * 16,
+        ),
+        out_shape=out_shape,
+        # Big scenes (two trees + LUT + image-uv block) spill past the
+        # default 16M scoped-vmem budget; v5e has headroom above it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_interpret(),
+    )(*ins)
+
+    def untile(x):
+        return x.reshape(n_pad)[:n]
+
+    (nox, noy, noz, ndx, ndy, ndz, nthx, nthy, nthz,
+     nrax, nray, nraz, nalive, uo, vo, io) = outs
+    return (
+        V3(untile(nox), untile(noy), untile(noz)),
+        V3(untile(ndx), untile(ndy), untile(ndz)),
+        V3(untile(nthx), untile(nthy), untile(nthz)),
+        V3(untile(nrax), untile(nray), untile(nraz)),
+        untile(nalive) > 0,
+        (untile(uo), untile(vo), untile(io)),
+    )

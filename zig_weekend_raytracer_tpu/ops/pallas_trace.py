@@ -1,4 +1,4 @@
-"""Pallas TPU kernels: fused brute-force closest-hit over the scene tables.
+"""Pallas TPU kernels: fused closest-hit over the scene tables.
 
 Why a kernel: the XLA formulations of the primitive loop either unroll into
 huge HLO programs (minutes of compile time) or carry per-ray best-hit state
@@ -11,21 +11,34 @@ are stored `(blocks, PB/8, 8, 1)` so each group of 8 primitives loads as one
 aligned `(8, 1)` vector and broadcasts across 128 ray lanes; every VPU op
 tests 8 primitives x 128 rays with zero scalar traffic.
 
-Structure: two kernels (spheres, then quads seeded with the sphere result),
-each on a grid of (ray blocks x primitive blocks).  The output block's index
-depends only on the ray axis, so Pallas keeps the running best-hit resident
-in VMEM across all primitive steps ("revisiting" accumulation); primitive
-blocks stream through double-buffered DMA.  HBM sees each ray O(1) times
-regardless of scene size.
+Two strategies per primitive kind, chosen at scene compile:
 
-This replaces the reference's `EntityCollection.hit` linear scan
-(src/entity.zig:342-368); sphere/quad math matches geometry/sphere.py and
-geometry/quad.py (and thus src/entity.zig:585-623 / :477-501).
+  * **Brute streaming** (small tables): grid of (ray tiles x primitive
+    blocks); the output block's index depends only on the ray axis, so
+    Pallas keeps the running best-hit resident in VMEM across all primitive
+    steps while primitive blocks stream through double-buffered DMA.
+    Replaces `EntityCollection.hit` (src/entity.zig:342-368).
+  * **Group-tree traversal** (big tables): a preorder skip-link tree whose
+    leaves each hold ONE sublane group of 8 primitives
+    (geometry/bvh.py:build_group_tree).  Node boxes/links live in SMEM and
+    drive scalar control flow; each ray tile walks the tree in lockstep
+    inside one `lax.while_loop`, descending when ANY ray in the tile hits
+    the node AABB (a child box is contained in its parent's, so per-ray
+    masking is unnecessary for correctness — a ray that misses an ancestor
+    box cannot hit any primitive inside it).  A leaf visit costs exactly
+    one brute group step, so traversal wins as soon as whole subtrees are
+    skipped.  Replaces the recursive `BVHNodeEntity.hit`
+    (src/entity.zig:286-303).
+
+Sphere/quad math matches geometry/sphere.py and geometry/quad.py (and thus
+src/entity.zig:585-623 / :477-501).  Set ``ZWRT_PALLAS_INTERPRET=1`` to run
+every kernel in the Pallas interpreter (CPU-testable; see tests/test_pallas.py).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +46,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..dtypes import QUAD_PARALLEL_EPS, real
+from ..dtypes import AABB_MAX_MULT, QUAD_PARALLEL_EPS, real
 from ..math.v3 import V3
 from ..scene import PRIM_QUAD, PRIM_SPHERE, CompiledScene
 
@@ -41,6 +54,17 @@ LANE = 128
 ROWS = 8           # ray rows per block: BLK = ROWS * LANE rays
 BLK = ROWS * LANE
 MAX_PRIM_BLOCK = 256  # max primitives per grid step (8 prims per sublane group)
+
+
+def _interpret() -> bool:
+    return bool(os.environ.get("ZWRT_PALLAS_INTERPRET"))
+
+
+def _leaf_groups() -> int:
+    """Sublane groups (x8 prims) per tree leaf.  Fatter leaves cut traversal
+    steps (scalar-latency bound) at the price of culling granularity.  Must
+    match the value the scene was compiled with (scene.py reads this too)."""
+    return int(os.environ.get("ZWRT_LEAF_GROUPS", "2"))
 
 
 def _prim_block(n_prims: int) -> int:
@@ -56,6 +80,98 @@ def _bcast(v):
     """(8, 1) attribute tile -> (8, LANE)."""
     return jnp.broadcast_to(v, (8, LANE))
 
+
+# ---------------------------------------------------------------------------
+# Shared per-row group test bodies (used by both brute and tree kernels)
+# ---------------------------------------------------------------------------
+
+def _sphere_group_hits(ray_row, group, t8, i8):
+    """Test one group of 8 spheres against one ray row, accumulating into
+    the (8, LANE) per-sublane best (t8, i8).
+
+    ``ray_row`` = (ox..tmin etc, each (1, LANE)); ``group`` = dict of
+    (8, LANE) broadcast attribute tiles + (8, LANE) i32 identity ``gid``
+    (reference two-root selection: src/entity.zig:585-623)."""
+    ox, oy, oz, dx, dy, dz, t_min, a, inv_a, tm = ray_row
+    cx, cy, cz = group["cx"], group["cy"], group["cz"]
+    if tm is not None:
+        cx = cx + group["mx"] * tm
+        cy = cy + group["my"] * tm
+        cz = cz + group["mz"] * tm
+    rr = group["r"]
+    ocx = cx - ox
+    ocy = cy - oy
+    ocz = cz - oz
+    h = dx * ocx + dy * ocy + dz * ocz
+    c = ocx * ocx + ocy * ocy + ocz * ocz - rr * rr
+    disc = h * h - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    root1 = (h - sq) * inv_a
+    root2 = (h + sq) * inv_a
+    in1 = (root1 > t_min) & (root1 < t8)
+    in2 = (root2 > t_min) & (root2 < t8)
+    root = jnp.where(in1, root1, root2)
+    hit = (disc >= 0.0) & (in1 | in2) & group["valid"]
+    return jnp.where(hit, root, t8), jnp.where(hit, group["gid"], i8)
+
+
+def _quad_group_hits(ray_row, group, t8, i8):
+    """Test one group of 8 quads against one ray row (plane intersect +
+    interior test, reference: src/entity.zig:477-501)."""
+    ox, oy, oz, dx, dy, dz, t_min, _a, _inv_a, _tm = ray_row
+    nx, ny, nz = group["nx"], group["ny"], group["nz"]
+    denom = nx * dx + ny * dy + nz * dz
+    not_par = jnp.abs(denom) >= QUAD_PARALLEL_EPS
+    t = (group["off"] - (nx * ox + ny * oy + nz * oz)) / jnp.where(
+        not_par, denom, 1.0
+    )
+    in_range = (t >= t_min) & (t < t8)
+    px = ox + dx * t - group["sx"]
+    py = oy + dy * t - group["sy"]
+    pz = oz + dz * t - group["sz"]
+    ux, uy, uz = group["ux"], group["uy"], group["uz"]
+    vx, vy, vz = group["vx"], group["vy"], group["vz"]
+    wx, wy, wz = group["wx"], group["wy"], group["wz"]
+    alpha = (
+        wx * (py * vz - pz * vy)
+        + wy * (pz * vx - px * vz)
+        + wz * (px * vy - py * vx)
+    )
+    beta = (
+        wx * (uy * pz - uz * py)
+        + wy * (uz * px - ux * pz)
+        + wz * (ux * py - uy * px)
+    )
+    interior = (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
+    hit = not_par & in_range & interior & group["valid"]
+    return jnp.where(hit, t, t8), jnp.where(hit, group["gid"], i8)
+
+
+def _fresh_group_best():
+    return (
+        jnp.full((8, LANE), _BIG, real),
+        jnp.full((8, LANE), _BIG_IDX, jnp.int32),
+    )
+
+
+def _reduce_group(t8, i8, kind_code, t_old, kind_old, idx_old):
+    """Reduce 8 sublanes -> per-ray best (smallest identity breaks t ties),
+    then merge with the running best row."""
+    t_row = jnp.min(t8, axis=0, keepdims=True)
+    i_row = jnp.min(
+        jnp.where(t8 <= t_row, i8, _BIG_IDX), axis=0, keepdims=True
+    )
+    better = t_row < t_old
+    return (
+        jnp.where(better, t_row, t_old),
+        jnp.where(better, kind_code, kind_old),
+        jnp.where(better, i_row, idx_old),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute streaming kernels
+# ---------------------------------------------------------------------------
 
 def _sphere_kernel(
     alive_ref,
@@ -79,76 +195,53 @@ def _sphere_kernel(
     # a single scalar test retires them without touching the VPU.
     @pl.when(jnp.max(alive_ref[0]) > 0)
     def _run():
-        _sphere_tile_body(
-            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, time_ref,
-            tmin_ref, scx_ref, scy_ref, scz_ref, sr_ref, smx_ref, smy_ref,
-            smz_ref, t_ref, kind_ref, idx_ref,
-            has_moving=has_moving, n_prims=n_prims, prim_block=prim_block,
-            base=base, sub=sub, groups=groups,
-        )
+        for r in range(ROWS):
+            ray_row = _load_ray_row(
+                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref,
+                time_ref if has_moving else None, r, with_quadratic=True,
+            )
+            t8, i8 = _fresh_group_best()
+            for k in range(groups):
+                gidx = base + k * 8 + sub
+                group = {
+                    "cx": _bcast(scx_ref[0, k]), "cy": _bcast(scy_ref[0, k]),
+                    "cz": _bcast(scz_ref[0, k]), "r": _bcast(sr_ref[0, k]),
+                    "gid": gidx, "valid": gidx < n_prims,
+                }
+                if has_moving:
+                    group["mx"] = _bcast(smx_ref[0, k])
+                    group["my"] = _bcast(smy_ref[0, k])
+                    group["mz"] = _bcast(smz_ref[0, k])
+                t8, i8 = _sphere_group_hits(ray_row, group, t8, i8)
+            t_new, k_new, i_new = _reduce_group(
+                t8, i8, PRIM_SPHERE,
+                t_ref[0, r].reshape(1, LANE),
+                kind_ref[0, r].reshape(1, LANE),
+                idx_ref[0, r].reshape(1, LANE),
+            )
+            t_ref[0, r] = t_new.reshape(LANE)
+            kind_ref[0, r] = k_new.reshape(LANE)
+            idx_ref[0, r] = i_new.reshape(LANE)
 
 
-def _sphere_tile_body(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, time_ref, tmin_ref,
-    scx_ref, scy_ref, scz_ref, sr_ref, smx_ref, smy_ref, smz_ref,
-    t_ref, kind_ref, idx_ref,
-    *, has_moving, n_prims, prim_block, base, sub, groups,
+def _load_ray_row(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, time_ref, r,
+    *, with_quadratic: bool,
 ):
-    for r in range(ROWS):
-        ox = ox_ref[0, r].reshape(1, LANE)
-        oy = oy_ref[0, r].reshape(1, LANE)
-        oz = oz_ref[0, r].reshape(1, LANE)
-        dx = dx_ref[0, r].reshape(1, LANE)
-        dy = dy_ref[0, r].reshape(1, LANE)
-        dz = dz_ref[0, r].reshape(1, LANE)
-        t_min = tmin_ref[0, r].reshape(1, LANE)
+    ox = ox_ref[0, r].reshape(1, LANE)
+    oy = oy_ref[0, r].reshape(1, LANE)
+    oz = oz_ref[0, r].reshape(1, LANE)
+    dx = dx_ref[0, r].reshape(1, LANE)
+    dy = dy_ref[0, r].reshape(1, LANE)
+    dz = dz_ref[0, r].reshape(1, LANE)
+    t_min = tmin_ref[0, r].reshape(1, LANE)
+    if with_quadratic:
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
-
-        t8 = jnp.full((8, LANE), _BIG, real)
-        i8 = jnp.full((8, LANE), _BIG_IDX, jnp.int32)
-
-        for k in range(groups):
-            gidx = base + k * 8 + sub
-            cx = _bcast(scx_ref[0, k])
-            cy = _bcast(scy_ref[0, k])
-            cz = _bcast(scz_ref[0, k])
-            rr = _bcast(sr_ref[0, k])
-            if has_moving:
-                tm = time_ref[0, r].reshape(1, LANE)
-                cx = cx + _bcast(smx_ref[0, k]) * tm
-                cy = cy + _bcast(smy_ref[0, k]) * tm
-                cz = cz + _bcast(smz_ref[0, k]) * tm
-            ocx = cx - ox
-            ocy = cy - oy
-            ocz = cz - oz
-            h = dx * ocx + dy * ocy + dz * ocz
-            c = ocx * ocx + ocy * ocy + ocz * ocz - rr * rr
-            disc = h * h - a * c
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            root1 = (h - sq) * inv_a
-            root2 = (h + sq) * inv_a
-            in1 = (root1 > t_min) & (root1 < t8)
-            in2 = (root2 > t_min) & (root2 < t8)
-            root = jnp.where(in1, root1, root2)
-            hit = (disc >= 0.0) & (in1 | in2) & (gidx < n_prims)
-            t8 = jnp.where(hit, root, t8)
-            i8 = jnp.where(hit, gidx, i8)
-
-        # reduce 8 sublanes -> per-ray best (smallest idx breaks t ties)
-        t_row = jnp.min(t8, axis=0, keepdims=True)
-        i_row = jnp.min(
-            jnp.where(t8 <= t_row, i8, _BIG_IDX), axis=0, keepdims=True
-        )
-        t_old = t_ref[0, r].reshape(1, LANE)
-        better = t_row < t_old
-        t_ref[0, r] = jnp.where(better, t_row, t_old).reshape(LANE)
-        kind_ref[0, r] = jnp.where(
-            better, PRIM_SPHERE, kind_ref[0, r].reshape(1, LANE)
-        ).reshape(LANE)
-        idx_ref[0, r] = jnp.where(
-            better, i_row, idx_ref[0, r].reshape(1, LANE)
-        ).reshape(LANE)
+    else:
+        a = inv_a = None
+    tm = time_ref[0, r].reshape(1, LANE) if time_ref is not None else None
+    return (ox, oy, oz, dx, dy, dz, t_min, a, inv_a, tm)
 
 
 def _quad_kernel(
@@ -177,93 +270,216 @@ def _quad_kernel(
 
     @pl.when(jnp.max(alive_ref[0]) > 0)
     def _run():
-        _quad_tile_body(
-            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref,
-            qsx_ref, qsy_ref, qsz_ref, qnx_ref, qny_ref, qnz_ref,
-            qwx_ref, qwy_ref, qwz_ref, qux_ref, quy_ref, quz_ref,
-            qvx_ref, qvy_ref, qvz_ref, qoff_ref,
-            t_ref, kind_ref, idx_ref,
-            n_prims=n_prims, base=base, sub=sub, groups=groups,
-        )
+        for r in range(ROWS):
+            ray_row = _load_ray_row(
+                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref,
+                None, r, with_quadratic=False,
+            )
+            t8, i8 = _fresh_group_best()
+            for k in range(groups):
+                gidx = base + k * 8 + sub
+                group = {
+                    "sx": _bcast(qsx_ref[0, k]), "sy": _bcast(qsy_ref[0, k]),
+                    "sz": _bcast(qsz_ref[0, k]),
+                    "nx": _bcast(qnx_ref[0, k]), "ny": _bcast(qny_ref[0, k]),
+                    "nz": _bcast(qnz_ref[0, k]),
+                    "wx": _bcast(qwx_ref[0, k]), "wy": _bcast(qwy_ref[0, k]),
+                    "wz": _bcast(qwz_ref[0, k]),
+                    "ux": _bcast(qux_ref[0, k]), "uy": _bcast(quy_ref[0, k]),
+                    "uz": _bcast(quz_ref[0, k]),
+                    "vx": _bcast(qvx_ref[0, k]), "vy": _bcast(qvy_ref[0, k]),
+                    "vz": _bcast(qvz_ref[0, k]),
+                    "off": _bcast(qoff_ref[0, k]),
+                    "gid": gidx, "valid": gidx < n_prims,
+                }
+                t8, i8 = _quad_group_hits(ray_row, group, t8, i8)
+            t_new, k_new, i_new = _reduce_group(
+                t8, i8, PRIM_QUAD,
+                t_ref[0, r].reshape(1, LANE),
+                kind_ref[0, r].reshape(1, LANE),
+                idx_ref[0, r].reshape(1, LANE),
+            )
+            t_ref[0, r] = t_new.reshape(LANE)
+            kind_ref[0, r] = k_new.reshape(LANE)
+            idx_ref[0, r] = i_new.reshape(LANE)
 
 
-def _quad_tile_body(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref,
-    qsx_ref, qsy_ref, qsz_ref,
-    qnx_ref, qny_ref, qnz_ref,
-    qwx_ref, qwy_ref, qwz_ref,
-    qux_ref, quy_ref, quz_ref,
-    qvx_ref, qvy_ref, qvz_ref,
-    qoff_ref,
-    t_ref, kind_ref, idx_ref,
-    *, n_prims, base, sub, groups,
+# ---------------------------------------------------------------------------
+# Group-tree traversal kernels
+# ---------------------------------------------------------------------------
+
+def _tree_kernel(
+    box_ref,    # SMEM (n_nodes, 6) f32: min xyz, max xyz
+    link_ref,   # SMEM (n_nodes, 2) i32: miss link, leaf group (-1 interior)
+    alive_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, time_ref, tmin_ref,
+    *refs,
+    kind_code: int, n_nodes: int, has_moving: bool, seeded: bool,
+    leaf_groups: int,
 ):
-    for r in range(ROWS):
-        ox = ox_ref[0, r].reshape(1, LANE)
-        oy = oy_ref[0, r].reshape(1, LANE)
-        oz = oz_ref[0, r].reshape(1, LANE)
-        dx = dx_ref[0, r].reshape(1, LANE)
-        dy = dy_ref[0, r].reshape(1, LANE)
-        dz = dz_ref[0, r].reshape(1, LANE)
-        t_min = tmin_ref[0, r].reshape(1, LANE)
+    """Tile-lockstep skip-link traversal.  ``refs`` is
+    (seed t/kind/idx refs if seeded) + leaf attribute tile refs (each
+    (n_groups, 8, 1)) + the (t, kind, idx) output refs."""
+    if seeded:
+        t0_ref, k0_ref, i0_ref = refs[:3]
+        refs = refs[3:]
+    attr_refs = refs[:-3]
+    t_ref, kind_ref, idx_ref = refs[-3:]
 
-        t8 = jnp.full((8, LANE), _BIG, real)
-        i8 = jnp.full((8, LANE), _BIG_IDX, jnp.int32)
+    if seeded:
+        t_init = t0_ref[0]
+        kind_init = k0_ref[0]
+        idx_init = i0_ref[0]
+    else:
+        t_init = jnp.full((ROWS, LANE), _BIG, real)
+        kind_init = jnp.full((ROWS, LANE), -1, jnp.int32)
+        idx_init = jnp.zeros((ROWS, LANE), jnp.int32)
+    t_ref[0] = t_init
+    kind_ref[0] = kind_init
+    idx_ref[0] = idx_init
 
-        for k in range(groups):
-            gidx = base + k * 8 + sub
-            nx = _bcast(qnx_ref[0, k])
-            ny = _bcast(qny_ref[0, k])
-            nz = _bcast(qnz_ref[0, k])
-            denom = nx * dx + ny * dy + nz * dz
-            not_par = jnp.abs(denom) >= QUAD_PARALLEL_EPS
-            t = (_bcast(qoff_ref[0, k]) - (nx * ox + ny * oy + nz * oz)) / jnp.where(
-                not_par, denom, 1.0
-            )
-            in_range = (t >= t_min) & (t < t8)
-            px = ox + dx * t - _bcast(qsx_ref[0, k])
-            py = oy + dy * t - _bcast(qsy_ref[0, k])
-            pz = oz + dz * t - _bcast(qsz_ref[0, k])
-            ux = _bcast(qux_ref[0, k])
-            uy = _bcast(quy_ref[0, k])
-            uz = _bcast(quz_ref[0, k])
-            vx = _bcast(qvx_ref[0, k])
-            vy = _bcast(qvy_ref[0, k])
-            vz = _bcast(qvz_ref[0, k])
-            wx = _bcast(qwx_ref[0, k])
-            wy = _bcast(qwy_ref[0, k])
-            wz = _bcast(qwz_ref[0, k])
-            alpha = (
-                wx * (py * vz - pz * vy)
-                + wy * (pz * vx - px * vz)
-                + wz * (px * vy - py * vx)
-            )
-            beta = (
-                wx * (uy * pz - uz * py)
-                + wy * (uz * px - ux * pz)
-                + wz * (ux * py - uy * px)
-            )
-            interior = (
-                (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
-            )
-            hit = not_par & in_range & interior & (gidx < n_prims)
-            t8 = jnp.where(hit, t, t8)
-            i8 = jnp.where(hit, gidx, i8)
+    @pl.when(jnp.max(alive_ref[0]) > 0)
+    def _run():
+        ox = ox_ref[0]
+        oy = oy_ref[0]
+        oz = oz_ref[0]
+        dx = dx_ref[0]
+        dy = dy_ref[0]
+        dz = dz_ref[0]
+        t_min = tmin_ref[0]
+        alive = alive_ref[0] > 0
+        inv_dx = 1.0 / dx
+        inv_dy = 1.0 / dy
+        inv_dz = 1.0 / dz
 
-        t_row = jnp.min(t8, axis=0, keepdims=True)
-        i_row = jnp.min(
-            jnp.where(t8 <= t_row, i8, _BIG_IDX), axis=0, keepdims=True
+        def body(carry):
+            node, t, kind, idx = carry
+            b0 = box_ref[node, 0]
+            b1 = box_ref[node, 1]
+            b2 = box_ref[node, 2]
+            b3 = box_ref[node, 3]
+            b4 = box_ref[node, 4]
+            b5 = box_ref[node, 5]
+            # robust slab test vs the current per-ray best t
+            # (reference: src/math/aabb.zig:80-101)
+            tx0 = (b0 - ox) * inv_dx
+            tx1 = (b3 - ox) * inv_dx
+            ty0 = (b1 - oy) * inv_dy
+            ty1 = (b4 - oy) * inv_dy
+            tz0 = (b2 - oz) * inv_dz
+            tz1 = (b5 - oz) * inv_dz
+            near = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+            )
+            far = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.minimum(jnp.maximum(tz0, tz1), t),
+            ) * AABB_MAX_MULT
+            box_hit = (far > near) & alive
+            any_hit = jnp.any(box_hit)
+            miss_link = link_ref[node, 0]
+            leaf_group = link_ref[node, 1]
+            is_leaf = leaf_group >= 0
+
+            def visit_leaf(args):
+                t, kind, idx = args
+                return _tree_leaf(
+                    leaf_group, attr_refs,
+                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    time_ref, tmin_ref, t, kind, idx,
+                    kind_code=kind_code, has_moving=has_moving,
+                    leaf_groups=leaf_groups,
+                )
+
+            t, kind, idx = jax.lax.cond(
+                is_leaf & any_hit, visit_leaf, lambda args: args,
+                (t, kind, idx),
+            )
+            nxt = jnp.where(any_hit & jnp.logical_not(is_leaf),
+                            node + 1, miss_link)
+            return nxt, t, kind, idx
+
+        _, t, kind, idx = jax.lax.while_loop(
+            lambda c: c[0] < n_nodes, body,
+            (jnp.int32(0), t_init, kind_init, idx_init),
         )
-        t_old = t_ref[0, r].reshape(1, LANE)
-        better = t_row < t_old
-        t_ref[0, r] = jnp.where(better, t_row, t_old).reshape(LANE)
-        kind_ref[0, r] = jnp.where(
-            better, PRIM_QUAD, kind_ref[0, r].reshape(1, LANE)
-        ).reshape(LANE)
-        idx_ref[0, r] = jnp.where(
-            better, i_row, idx_ref[0, r].reshape(1, LANE)
-        ).reshape(LANE)
+        t_ref[0] = t
+        kind_ref[0] = kind
+        idx_ref[0] = idx
 
+
+def _tree_leaf(
+    g0, attr_refs,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, time_ref, tmin_ref,
+    t, kind, idx, *, kind_code: int, has_moving: bool, leaf_groups: int,
+):
+    """Test the ``leaf_groups`` consecutive groups starting at ``g0`` against
+    the whole tile.  Identity comes from the leaf-slot original-index tile,
+    so results refer to the unsorted primitive tables."""
+    def make_group(g):
+        bc = lambda ref: _bcast(ref[g])
+        if kind_code == PRIM_SPHERE:
+            (cx_ref, cy_ref, cz_ref, r_ref, mx_ref, my_ref, mz_ref,
+             oi_ref) = attr_refs
+            group = {
+                "cx": bc(cx_ref), "cy": bc(cy_ref), "cz": bc(cz_ref),
+                "r": bc(r_ref), "gid": bc(oi_ref),
+                "valid": jnp.full((8, LANE), True),
+            }
+            if has_moving:
+                group["mx"] = bc(mx_ref)
+                group["my"] = bc(my_ref)
+                group["mz"] = bc(mz_ref)
+        else:
+            (sx_ref, sy_ref, sz_ref, nx_ref, ny_ref, nz_ref,
+             wx_ref, wy_ref, wz_ref, ux_ref, uy_ref, uz_ref,
+             vx_ref, vy_ref, vz_ref, off_ref, oi_ref) = attr_refs
+            group = {
+                "sx": bc(sx_ref), "sy": bc(sy_ref), "sz": bc(sz_ref),
+                "nx": bc(nx_ref), "ny": bc(ny_ref), "nz": bc(nz_ref),
+                "wx": bc(wx_ref), "wy": bc(wy_ref), "wz": bc(wz_ref),
+                "ux": bc(ux_ref), "uy": bc(uy_ref), "uz": bc(uz_ref),
+                "vx": bc(vx_ref), "vy": bc(vy_ref), "vz": bc(vz_ref),
+                "off": bc(off_ref), "gid": bc(oi_ref),
+                "valid": jnp.full((8, LANE), True),
+            }
+        return group
+
+    row_fn = (
+        _sphere_group_hits if kind_code == PRIM_SPHERE else _quad_group_hits
+    )
+    groups = [make_group(g0 + j) for j in range(leaf_groups)]
+
+    rows_t, rows_k, rows_i = [], [], []
+    for r in range(ROWS):
+        ray_row = _load_ray_row(
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref,
+            time_ref if (kind_code == PRIM_SPHERE and has_moving) else None,
+            r, with_quadratic=kind_code == PRIM_SPHERE,
+        )
+        t8, i8 = _fresh_group_best()
+        for group in groups:
+            t8, i8 = row_fn(ray_row, group, t8, i8)
+        t_new, k_new, i_new = _reduce_group(
+            t8, i8, kind_code,
+            t[r].reshape(1, LANE),
+            kind[r].reshape(1, LANE),
+            idx[r].reshape(1, LANE),
+        )
+        rows_t.append(t_new)
+        rows_k.append(k_new)
+        rows_i.append(i_new)
+    return (
+        jnp.concatenate(rows_t, axis=0),
+        jnp.concatenate(rows_k, axis=0),
+        jnp.concatenate(rows_i, axis=0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage drivers
+# ---------------------------------------------------------------------------
 
 def _prim_layout(attr: jnp.ndarray, prim_block: int) -> jnp.ndarray:
     """(S,) attribute -> (blocks, prim_block/8, 8, 1) sublane-major tiles."""
@@ -275,71 +491,155 @@ def _prim_layout(attr: jnp.ndarray, prim_block: int) -> jnp.ndarray:
     return attr.reshape(blocks, prim_block // 8, 8, 1)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("has_moving", "n_spheres", "n_quads")
-)
-def _trace_call(alive, rays, sph, quad, *, has_moving, n_spheres, n_quads):
-    n = rays[0].shape[0]
-    alive_tiles = alive.reshape(n // BLK, ROWS, LANE)
-    g = n // BLK
-    tiles = tuple(r.reshape(g, ROWS, LANE) for r in rays)
+def _ray_spec():
+    return pl.BlockSpec(
+        (1, ROWS, LANE), lambda *g: (g[0], 0, 0), memory_space=pltpu.VMEM
+    )
 
-    def ray_spec():
-        return pl.BlockSpec(
-            (1, ROWS, LANE), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
-        )
 
-    def table_spec(prim_block):
-        return pl.BlockSpec(
-            (1, prim_block // 8, 8, 1), lambda i, j: (j, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    out_specs = [ray_spec(), ray_spec(), ray_spec()]
-    out_shape = [
+def _out_shapes(g):
+    return [
         jax.ShapeDtypeStruct((g, ROWS, LANE), real),
         jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32),
         jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32),
     ]
 
-    # -- sphere pass --
-    s_pb = _prim_block(max(n_spheres, 1))
-    sph_tiles = tuple(_prim_layout(a, s_pb) for a in sph)
-    s_blocks = sph_tiles[0].shape[0]
-    t, kind, idx = pl.pallas_call(
+
+def _sphere_brute_stage(alive_tiles, tiles, sph, *, has_moving, n_spheres):
+    g = alive_tiles.shape[0]
+    pb = _prim_block(max(n_spheres, 1))
+    sph_tiles = tuple(_prim_layout(a, pb) for a in sph)
+    blocks = sph_tiles[0].shape[0]
+
+    def table_spec():
+        return pl.BlockSpec(
+            (1, pb // 8, 8, 1), lambda i, j: (j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    return pl.pallas_call(
         functools.partial(
             _sphere_kernel, has_moving=has_moving, n_prims=n_spheres,
-            prim_block=s_pb,
+            prim_block=pb,
         ),
         grid_spec=pl.GridSpec(
-            grid=(g, s_blocks),
-            in_specs=[ray_spec()] * 9 + [table_spec(s_pb)] * 7,
-            out_specs=out_specs,
+            grid=(g, blocks),
+            in_specs=[_ray_spec()] * 9 + [table_spec()] * 7,
+            out_specs=[_ray_spec()] * 3,
         ),
-        out_shape=out_shape,
+        out_shape=_out_shapes(g),
+        interpret=_interpret(),
     )(alive_tiles, *tiles, *sph_tiles)
 
-    if n_quads == 0:
-        big = jnp.float32(_BIG)
-        t = jnp.where(kind < 0, jnp.float32(np.inf), t)
-        return t.reshape(n), kind.reshape(n), idx.reshape(n)
 
-    # -- quad pass (seeded with the sphere result) --
-    q_pb = _prim_block(max(n_quads, 1))
-    quad_tiles = tuple(_prim_layout(a, q_pb) for a in quad)
-    q_blocks = quad_tiles[0].shape[0]
+def _quad_brute_stage(alive_tiles, tiles, seed, quad, *, n_quads):
+    g = alive_tiles.shape[0]
+    pb = _prim_block(max(n_quads, 1))
+    quad_tiles = tuple(_prim_layout(a, pb) for a in quad)
+    blocks = quad_tiles[0].shape[0]
+
+    def table_spec():
+        return pl.BlockSpec(
+            (1, pb // 8, 8, 1), lambda i, j: (j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     ray_in = tiles[:6] + (tiles[7],)  # no time needed for quads
-    t, kind, idx = pl.pallas_call(
-        functools.partial(_quad_kernel, n_prims=n_quads, prim_block=q_pb),
+    return pl.pallas_call(
+        functools.partial(_quad_kernel, n_prims=n_quads, prim_block=pb),
         grid_spec=pl.GridSpec(
-            grid=(g, q_blocks),
-            in_specs=[ray_spec()] * 8
-            + [ray_spec()] * 3
-            + [table_spec(q_pb)] * 16,
-            out_specs=out_specs,
+            grid=(g, blocks),
+            in_specs=[_ray_spec()] * 8
+            + [_ray_spec()] * 3
+            + [table_spec()] * 16,
+            out_specs=[_ray_spec()] * 3,
         ),
-        out_shape=out_shape,
-    )(alive_tiles, *ray_in, t, kind, idx, *quad_tiles)
+        out_shape=_out_shapes(g),
+        interpret=_interpret(),
+    )(alive_tiles, *ray_in, *seed, *quad_tiles)
+
+
+def _tree_stage(
+    alive_tiles, tiles, seed, box, link, attrs, *,
+    kind_code, has_moving,
+):
+    g = alive_tiles.shape[0]
+    n_nodes = box.shape[0]
+    n_groups = attrs[0].shape[0] // 8
+    attr_tiles = tuple(a.reshape(n_groups, 8, 1) for a in attrs)
+
+    def smem_spec(shape):
+        return pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape),
+            memory_space=pltpu.SMEM,
+        )
+
+    def attr_spec():
+        return pl.BlockSpec(
+            (n_groups, 8, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    seeded = seed is not None
+    seed_in = list(seed) if seeded else []
+    return pl.pallas_call(
+        functools.partial(
+            _tree_kernel, kind_code=kind_code, n_nodes=n_nodes,
+            has_moving=has_moving, seeded=seeded,
+            leaf_groups=_leaf_groups(),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(g,),
+            in_specs=[smem_spec((n_nodes, 6)), smem_spec((n_nodes, 2))]
+            + [_ray_spec()] * 9
+            + [_ray_spec()] * (3 if seeded else 0)
+            + [attr_spec()] * len(attr_tiles),
+            out_specs=[_ray_spec()] * 3,
+        ),
+        out_shape=_out_shapes(g),
+        interpret=_interpret(),
+    )(box, link, alive_tiles, *tiles, *seed_in, *attr_tiles)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "has_moving", "n_spheres", "n_quads", "use_sph_tree", "use_quad_tree",
+    ),
+)
+def _trace_call(
+    alive, rays, sph, quad, sph_tree, quad_tree, *,
+    has_moving, n_spheres, n_quads, use_sph_tree, use_quad_tree,
+):
+    n = rays[0].shape[0]
+    g = n // BLK
+    alive_tiles = alive.reshape(g, ROWS, LANE)
+    tiles = tuple(r.reshape(g, ROWS, LANE) for r in rays)
+
+    # -- sphere stage --
+    if use_sph_tree:
+        box, link, attrs = sph_tree
+        t, kind, idx = _tree_stage(
+            alive_tiles, tiles, None, box, link, attrs,
+            kind_code=PRIM_SPHERE, has_moving=has_moving,
+        )
+    else:
+        t, kind, idx = _sphere_brute_stage(
+            alive_tiles, tiles, sph, has_moving=has_moving,
+            n_spheres=n_spheres,
+        )
+
+    # -- quad stage (seeded with the sphere result) --
+    if n_quads > 0:
+        if use_quad_tree:
+            box, link, attrs = quad_tree
+            t, kind, idx = _tree_stage(
+                alive_tiles, tiles, (t, kind, idx), box, link, attrs,
+                kind_code=PRIM_QUAD, has_moving=False,
+            )
+        else:
+            t, kind, idx = _quad_brute_stage(
+                alive_tiles, tiles, (t, kind, idx), quad, n_quads=n_quads
+            )
 
     t = jnp.where(kind < 0, jnp.float32(np.inf), t)
     return t.reshape(n), kind.reshape(n), idx.reshape(n)
@@ -353,8 +653,9 @@ def closest_hit_pallas(
     t_min,
     active=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Brute-force closest hit via the fused kernels.  Returns (t, kind, idx)
-    with t=+inf on miss.  Rays are padded to a BLK multiple internally."""
+    """Fused closest hit (brute or group-tree per kind).  Returns
+    (t, kind, idx) with t=+inf on miss.  Rays are padded to a BLK multiple
+    internally."""
     n = origin.shape[0]
     n_pad = -(-n // BLK) * BLK
 
@@ -386,8 +687,14 @@ def closest_hit_pallas(
         scene.quad_v.x, scene.quad_v.y, scene.quad_v.z,
         scene.quad_offset,
     )
+    sph_tree = (scene.sph_tree_box, scene.sph_tree_link, scene.sph_tree_attrs)
+    quad_tree = (
+        scene.quad_tree_box, scene.quad_tree_link, scene.quad_tree_attrs
+    )
     t, kind, idx = _trace_call(
-        alive, rays, sph, quad, has_moving=scene.has_moving,
+        alive, rays, sph, quad, sph_tree, quad_tree,
+        has_moving=scene.has_moving,
         n_spheres=scene.n_spheres, n_quads=scene.n_quads,
+        use_sph_tree=scene.has_sph_tree, use_quad_tree=scene.has_quad_tree,
     )
     return t[:n], kind[:n], idx[:n]

@@ -100,6 +100,9 @@ def closest_hit(
 def _use_pallas_backend() -> bool:
     if os.environ.get("ZWRT_NO_PALLAS"):
         return False
+    if os.environ.get("ZWRT_PALLAS_INTERPRET"):
+        # Force the Pallas path in interpreter mode (CPU-testable kernels).
+        return True
     return jax.default_backend() != "cpu"
 
 

@@ -133,7 +133,38 @@ def trace_paths(
         slot=jnp.arange(n, dtype=jnp.int32),
     )
 
+    from ..ops.trace import _use_pallas_backend
+
+    use_bounce_kernel = _use_pallas_backend()
+    if use_bounce_kernel:
+        from ..ops.pallas_bounce import bounce_pallas, supports_bounce_kernel
+
+        use_bounce_kernel = supports_bounce_kernel(scene)
+
+    def bounce_kernel(depth, st: PathState) -> PathState:
+        """Fused Pallas bounce (ops/pallas_bounce.py): trace + shade +
+        scatter run in ONE kernel; image textures are multiplied in
+        afterwards (the only non-fused piece)."""
+        origin, direction, throughput, radiance, alive, (u, v, io) = (
+            bounce_pallas(
+                scene, st.origin, st.direction, st.time, st.ray_id,
+                st.throughput, st.radiance, st.alive,
+                seed, depth, T_MIN,
+                terminate_zero=terminate_zero_throughput,
+            )
+        )
+        if scene.has_image_textures:
+            img_rgb = atlas_lookup(scene, jnp.maximum(io, 0), u, v)
+            throughput = V3.where(io >= 0, throughput * img_rgb, throughput)
+        return PathState(
+            origin=origin, direction=direction, time=st.time,
+            throughput=throughput, radiance=radiance, alive=alive,
+            ray_id=st.ray_id, slot=st.slot,
+        )
+
     def bounce(depth, st: PathState) -> PathState:
+        if use_bounce_kernel:
+            return bounce_kernel(depth, st)
         ray_id = st.ray_id
         # Per-bounce decorrelation: the (traced) depth folds into the stream
         # index — every draw is a pure function of (seed, ray_id, site).

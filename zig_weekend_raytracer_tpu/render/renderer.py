@@ -33,18 +33,51 @@ from .integrator import trace_paths
 log = logging.getLogger("zwrt")
 
 
-def ray_grid(width, height, band_y0, band_rows, sample0, spp_chunk):
-    """Flat (px, py, sample_idx, ray_id) arrays for one chunk.
+TILE = 32  # pixel-block side for tiled ray order (32x32 = one trace tile)
+
+
+def pick_tile(width: int, band_rows: int) -> int | None:
+    """Use tiled ray order when the chunk is big enough for padding to a
+    TILE multiple to be negligible; tiny (test-sized) renders stay flat."""
+    if width >= 2 * TILE and band_rows >= TILE:
+        return TILE
+    return None
+
+
+def ray_grid(width, height, band_y0, band_rows, sample0, spp_chunk, tile=None):
+    """(px, py, sample_idx, ray_id) arrays for one chunk.
 
     The global ray id is ``(sample * height + y) * width + x`` — the RNG
-    content address (u32; callers must keep W*H*spp < 2^32).
+    content address (u32; callers must keep W*H*spp < 2^32).  Because all
+    randomness is content-addressed by (sample, y, x), the EMISSION ORDER of
+    rays is free: with ``tile`` set, pixels are emitted in (sample, block_y,
+    block_x, in_y, in_x) order so every group of tile*tile consecutive rays
+    is a compact image block — the Pallas trace tiles then carry tight
+    spatial frusta, which is what makes group-tree traversal prune
+    (ops/pallas_trace.py).  ``unflatten_radiance`` undoes the order with
+    pure reshapes/transposes (no gathers).  Padded rows/columns are clamped
+    to the last valid pixel and sliced away by the caller.
     """
     s = sample0 + jnp.arange(spp_chunk, dtype=jnp.int32)
-    y = band_y0 + jnp.arange(band_rows, dtype=jnp.int32)
-    x = jnp.arange(width, dtype=jnp.int32)
-    sg, yg, xg = jnp.meshgrid(s, y, x, indexing="ij")
-    px = xg.reshape(-1)
-    py = jnp.minimum(yg.reshape(-1), height - 1)  # clamp padded rows
+    if tile is None:
+        y = band_y0 + jnp.arange(band_rows, dtype=jnp.int32)
+        x = jnp.arange(width, dtype=jnp.int32)
+        sg, yg, xg = jnp.meshgrid(s, y, x, indexing="ij")
+        px = xg.reshape(-1)
+        py = jnp.minimum(yg.reshape(-1), height - 1)  # clamp padded rows
+    else:
+        rows_p = -(-band_rows // tile) * tile
+        width_p = -(-width // tile) * tile
+        by = jnp.arange(rows_p // tile, dtype=jnp.int32)
+        bx = jnp.arange(width_p // tile, dtype=jnp.int32)
+        iy = jnp.arange(tile, dtype=jnp.int32)
+        ix = jnp.arange(tile, dtype=jnp.int32)
+        sg, byg, bxg, iyg, ixg = jnp.meshgrid(s, by, bx, iy, ix, indexing="ij")
+        px = jnp.minimum((bxg * tile + ixg).reshape(-1), width - 1)
+        py = jnp.minimum(
+            band_y0 + (byg * tile + iyg).reshape(-1), height - 1
+        )
+        sg = sg
     sidx = sg.reshape(-1)
     ray_id = (
         (sidx.astype(jnp.uint32) * jnp.uint32(height) + py.astype(jnp.uint32))
@@ -52,6 +85,22 @@ def ray_grid(width, height, band_y0, band_rows, sample0, spp_chunk):
         + px.astype(jnp.uint32)
     )
     return px, py, sidx, ray_id
+
+
+def unflatten_radiance(rad, width, band_rows, spp_chunk, tile):
+    """(N, 3) radiance in ray_grid order -> (spp_chunk, band_rows, width, 3)
+    (pure reshape/transpose; padded pixels sliced off)."""
+    if tile is None:
+        return rad.reshape(spp_chunk, band_rows, width, 3)
+    rows_p = -(-band_rows // tile) * tile
+    width_p = -(-width // tile) * tile
+    rad = rad.reshape(
+        spp_chunk, rows_p // tile, width_p // tile, tile, tile, 3
+    )
+    rad = rad.transpose(0, 1, 3, 2, 4, 5).reshape(
+        spp_chunk, rows_p, width_p, 3
+    )
+    return rad[:, :band_rows, :width]
 
 
 @functools.partial(
@@ -87,8 +136,9 @@ def _render_band(
     caps which sample indices contribute; progressive batches pass the end
     of their batch here while keeping ``spp`` at the total."""
     with named_zone("Renderer::render"):
+        tile = pick_tile(width, band_rows)
         px, py, sidx, ray_id = ray_grid(
-            width, height, band_y0, band_rows, sample0, spp_chunk
+            width, height, band_y0, band_rows, sample0, spp_chunk, tile
         )
         with named_zone("sampleRay"):
             origin, direction, time = generate_rays(
@@ -102,7 +152,9 @@ def _render_band(
         # Zero padded samples (last chunk when spp % spp_chunk != 0).
         valid = sidx < (spp if sample_limit is None else sample_limit)
         rad = radiance.to_array() * valid[..., None]
-        return rad.reshape(spp_chunk, band_rows, width, 3).sum(axis=0)
+        return unflatten_radiance(rad, width, band_rows, spp_chunk, tile).sum(
+            axis=0
+        )
 
 
 @dataclasses.dataclass

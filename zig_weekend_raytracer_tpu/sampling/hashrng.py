@@ -54,8 +54,12 @@ def pcg4d(a, b, c, d) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarra
 
 
 def _to_unit(v: jnp.ndarray) -> jnp.ndarray:
-    """u32 -> [0, 1) float32 (24-bit mantissa path, never returns 1.0)."""
-    return (v >> 8).astype(real) * real(1.0 / (1 << 24))
+    """u32 -> [0, 1) float32 (24-bit mantissa path, never returns 1.0).
+
+    The value is < 2^24 after the shift, so converting via int32 is exact —
+    and unlike a u32->f32 cast it also lowers inside Pallas TPU kernels.
+    """
+    return (v >> 8).astype(jnp.int32).astype(real) * real(1.0 / (1 << 24))
 
 
 def uniform4(seed, ray_id, stream) -> Tuple[jnp.ndarray, ...]:

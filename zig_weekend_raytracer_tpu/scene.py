@@ -54,6 +54,10 @@ TEX_IMAGE = 2    # reference: src/texture.zig:33
 PRIM_SPHERE = 0
 PRIM_QUAD = 1
 
+# Below this many primitives of a kind, the streaming brute-force kernel
+# beats group-tree traversal (measured; every table fits one grid step).
+TREE_MIN_PRIMS = 64
+
 _F = real_np
 _I = np.int32
 
@@ -181,10 +185,12 @@ _ARRAY_FIELDS = [
     "atlas_r", "atlas_g", "atlas_b", "atlas_packed", "atlas_wh",
     # background
     "background",
-    # denormalized per-prim shading records (see ops/shade.py)
-    "shade_rows", "shade_cols_sph", "shade_cols_quad",
-    # per-block AABBs for kernel block culling
-    "sph_block_bounds", "quad_block_bounds",
+    # denormalized per-prim shading records (see ops/shade.py) + the
+    # lane-LUT layout consumed by the Pallas bounce kernel
+    "shade_rows", "shade_cols_sph", "shade_cols_quad", "shade_lut",
+    # per-kind group trees for the Pallas traversal kernels
+    "sph_tree_box", "sph_tree_link", "sph_tree_attrs",
+    "quad_tree_box", "quad_tree_link", "quad_tree_attrs",
     # linearized BVH (over unified prim list); degenerate when not built
     "bvh_min", "bvh_max", "bvh_miss", "bvh_leaf_start", "bvh_leaf_count",
     "bvh_prim_kind", "bvh_prim_idx",
@@ -193,7 +199,8 @@ _ARRAY_FIELDS = [
 _STATIC_FIELDS = [
     "n_spheres", "n_quads", "n_materials", "n_textures",
     "has_moving", "has_bvh", "max_leaf_size", "has_image_textures",
-    "lights",
+    "lights", "has_sph_tree", "has_quad_tree",
+    "background_rgb", "light_params", "has_emissive_image",
 ]
 
 
@@ -246,9 +253,23 @@ class CompiledScene:
     shade_rows: jnp.ndarray
     shade_cols_sph: tuple
     shade_cols_quad: tuple
-    # (blocks, 8) per-primitive-block AABBs [min xyz, max xyz, pad]
-    sph_block_bounds: jnp.ndarray
-    quad_block_bounds: jnp.ndarray
+    # (32, R, 128) f32: shade_rows columns padded to R*128 rows and tiled so
+    # the Pallas bounce kernel can gather a record per lane with R row
+    # selects + one lane shuffle per column (see ops/pallas_bounce.py)
+    shade_lut: jnp.ndarray
+    # Per-kind group trees walked by the Pallas traversal kernels
+    # (ops/pallas_trace.py): preorder skip-link nodes whose leaves each hold
+    # one sublane group of 8 primitives.  ``*_tree_box`` is (n_nodes, 6) f32
+    # [min xyz, max xyz]; ``*_tree_link`` is (n_nodes, 2) i32 [miss link,
+    # leaf group id or -1]; ``*_tree_attrs`` is the leaf-ordered primitive
+    # attribute tuple (see geometry/bvh.py:build_group_tree).  Degenerate
+    # placeholders when has_{sph,quad}_tree is False.
+    sph_tree_box: jnp.ndarray
+    sph_tree_link: jnp.ndarray
+    sph_tree_attrs: tuple
+    quad_tree_box: jnp.ndarray
+    quad_tree_link: jnp.ndarray
+    quad_tree_attrs: tuple
     # BVH
     bvh_min: V3
     bvh_max: V3
@@ -266,6 +287,19 @@ class CompiledScene:
     has_bvh: bool = False
     max_leaf_size: int = 4
     has_image_textures: bool = False
+    has_sph_tree: bool = False
+    has_quad_tree: bool = False
+    # Static mirrors for the Pallas bounce kernel: the background color and
+    # the light-list geometry bake into the kernel as compile-time constants
+    # (the light list is tiny and static, like the reference's comptime
+    # dispatch).  light_params entries: (PRIM_SPHERE, (cx, cy, cz, r)) or
+    # (PRIM_QUAD, (sx, sy, sz, ux, uy, uz, vx, vy, vz, nx, ny, nz,
+    #              wx, wy, wz, offset, area)).
+    background_rgb: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    light_params: Tuple = ()
+    # True if any emissive material samples an image texture (forces the
+    # XLA integrator; the bounce kernel handles everything else)
+    has_emissive_image: bool = False
     # Importance-sampled light list as STATIC ((kind, idx), ...) — the list
     # is tiny and static dispatch lets each slot evaluate only its own
     # primitive kind (reference: Scene.lights, src/scene.zig:43).
@@ -779,24 +813,38 @@ def _compile_tables(
     shade_cols_sph = _cols(shade_rows[:n_s])
     shade_cols_quad = _cols(shade_rows[n_s : n_s + n_q])
 
-    # per-block AABBs for the Pallas tracer's block culling (blocks follow
-    # the kernel's _prim_block sizing over the Morton-sorted tables)
-    from .ops.pallas_trace import _prim_block
+    # lane-LUT layout for the bounce kernel: (32 cols, R, 128)
+    _P = shade_rows.shape[0]
+    _R = max(1, -(-_P // 128))
+    _lut = np.zeros((shade_rows.shape[1], _R * 128), _F)
+    _lut[:, :_P] = shade_rows.T
+    shade_lut = jnp.asarray(_lut.reshape(shade_rows.shape[1], _R, 128))
 
-    def _block_bounds(bmin_np, bmax_np, count):
-        pb = _prim_block(max(count, 1))
-        blocks = max(1, -(-max(count, 1) // pb))
-        out = np.zeros((blocks, 8), _F)
-        for b in range(blocks):
-            lo = b * pb
-            hi = min(count, lo + pb)
-            if hi > lo:
-                out[b, 0:3] = bmin_np[lo:hi].min(0)
-                out[b, 3:6] = bmax_np[lo:hi].max(0)
-            else:
-                out[b, 0:3] = 1e30
-                out[b, 3:6] = -1e30
-        return out
+    # static light geometry for the bounce kernel
+    light_params = []
+    for kind, idx in lights:
+        if kind == PRIM_SPHERE:
+            light_params.append((
+                PRIM_SPHERE,
+                (float(sph_center[idx, 0]), float(sph_center[idx, 1]),
+                 float(sph_center[idx, 2]), float(sph_radius[idx])),
+            ))
+        else:
+            light_params.append((
+                PRIM_QUAD,
+                (float(quad_start[idx, 0]), float(quad_start[idx, 1]),
+                 float(quad_start[idx, 2]),
+                 float(quad_u[idx, 0]), float(quad_u[idx, 1]),
+                 float(quad_u[idx, 2]),
+                 float(quad_v[idx, 0]), float(quad_v[idx, 1]),
+                 float(quad_v[idx, 2]),
+                 float(quad_normal[idx, 0]), float(quad_normal[idx, 1]),
+                 float(quad_normal[idx, 2]),
+                 float(quad_w[idx, 0]), float(quad_w[idx, 1]),
+                 float(quad_w[idx, 2]),
+                 float(quad_offset[idx]), float(quad_area[idx])),
+            ))
+    light_params = tuple(light_params)
 
     sph_lo = np.stack(
         [
@@ -820,11 +868,82 @@ def _compile_tables(
     else:
         quad_lo = np.zeros((0, 3), _F)
         quad_hi = np.zeros((0, 3), _F)
-    sph_block_bounds = _block_bounds(sph_lo, sph_hi, n_s)
-    quad_block_bounds = _block_bounds(quad_lo, quad_hi, n_q)
+
+    # -- per-kind group trees for the Pallas traversal kernels -------------
+    # Built whenever a BVH is requested and the kind has enough primitives
+    # for traversal to beat the streaming brute kernel.
+    from .geometry import bvh as _bvh
+    from .ops.pallas_trace import _leaf_groups as _plg
+
+    def _pad_thin(lo, hi, delta=1e-4):
+        """Degenerate-axis padding (reference: src/math/aabb.zig:103-122)."""
+        thin = (hi - lo) < delta
+        return (
+            np.where(thin, lo - delta / 2, lo),
+            np.where(thin, hi + delta / 2, hi),
+        )
+
+    def _leaf_attrs(slots, cols_and_fills):
+        """Leaf-slot-ordered attribute arrays; -1 slots get the unhittable
+        fill value.  The final array is the original prim index (i32)."""
+        padm = slots < 0
+        safe = np.where(padm, 0, slots)
+        out = [
+            jnp.asarray(np.where(padm, fill, col[safe]).astype(_F))
+            for col, fill in cols_and_fills
+        ]
+        out.append(jnp.asarray(np.where(padm, 0, slots).astype(_I)))
+        return tuple(out)
+
+    has_sph_tree = build_bvh and n_s >= TREE_MIN_PRIMS
+    if has_sph_tree:
+        lo, hi = _pad_thin(sph_lo.astype(np.float64), sph_hi.astype(np.float64))
+        tr = _bvh.build_group_tree(lo, hi, leaf_groups=_plg())
+        sph_tree_box = jnp.asarray(tr["node_box"])
+        sph_tree_link = jnp.asarray(tr["node_link"])
+        sph_tree_attrs = _leaf_attrs(
+            tr["prim_slots"],
+            [
+                (sph_center[:n_s, 0], 1e30), (sph_center[:n_s, 1], 1e30),
+                (sph_center[:n_s, 2], 1e30), (sph_radius[:n_s], 0.0),
+                (sph_move[:n_s, 0], 0.0), (sph_move[:n_s, 1], 0.0),
+                (sph_move[:n_s, 2], 0.0),
+            ],
+        )
+    else:
+        sph_tree_box = jnp.zeros((1, 6), real_np)
+        sph_tree_link = jnp.zeros((1, 2), _I)
+        sph_tree_attrs = ()
+
+    has_quad_tree = build_bvh and n_q >= TREE_MIN_PRIMS
+    if has_quad_tree:
+        lo, hi = _pad_thin(quad_lo.astype(np.float64), quad_hi.astype(np.float64))
+        tr = _bvh.build_group_tree(lo, hi, leaf_groups=_plg())
+        quad_tree_box = jnp.asarray(tr["node_box"])
+        quad_tree_link = jnp.asarray(tr["node_link"])
+        quad_tree_attrs = _leaf_attrs(
+            tr["prim_slots"],
+            [
+                (quad_start[:n_q, 0], 0.0), (quad_start[:n_q, 1], 0.0),
+                (quad_start[:n_q, 2], 0.0),
+                # zero normal -> parallel -> unhittable padding
+                (quad_normal[:n_q, 0], 0.0), (quad_normal[:n_q, 1], 0.0),
+                (quad_normal[:n_q, 2], 0.0),
+                (quad_w[:n_q, 0], 0.0), (quad_w[:n_q, 1], 0.0),
+                (quad_w[:n_q, 2], 0.0),
+                (quad_u[:n_q, 0], 0.0), (quad_u[:n_q, 1], 0.0),
+                (quad_u[:n_q, 2], 0.0),
+                (quad_v[:n_q, 0], 0.0), (quad_v[:n_q, 1], 0.0),
+                (quad_v[:n_q, 2], 0.0),
+                (quad_offset[:n_q], 0.0),
+            ],
+        )
+    else:
+        quad_tree_box = jnp.zeros((1, 6), real_np)
+        quad_tree_link = jnp.zeros((1, 2), _I)
+        quad_tree_attrs = ()
 
     # BVH (built lazily in geometry.bvh; degenerate placeholder otherwise)
-    from .geometry import bvh as _bvh
 
     if build_bvh and (n_s + n_q) >= 2:
         bvh_arrays = _bvh.build_bvh(
@@ -872,8 +991,13 @@ def _compile_tables(
         shade_rows=jnp.asarray(shade_rows),
         shade_cols_sph=shade_cols_sph,
         shade_cols_quad=shade_cols_quad,
-        sph_block_bounds=jnp.asarray(sph_block_bounds),
-        quad_block_bounds=jnp.asarray(quad_block_bounds),
+        shade_lut=shade_lut,
+        sph_tree_box=sph_tree_box,
+        sph_tree_link=sph_tree_link,
+        sph_tree_attrs=sph_tree_attrs,
+        quad_tree_box=quad_tree_box,
+        quad_tree_link=quad_tree_link,
+        quad_tree_attrs=quad_tree_attrs,
         bvh_min=_v3c(bvh_arrays["bvh_min"]),
         bvh_max=_v3c(bvh_arrays["bvh_max"]),
         bvh_miss=jnp.asarray(bvh_arrays["bvh_miss"]),
@@ -890,4 +1014,14 @@ def _compile_tables(
         max_leaf_size=int(bvh_arrays.get("max_leaf_size", 4)),
         has_image_textures=any(t["kind"] == TEX_IMAGE for t in textures),
         lights=lights,
+        has_sph_tree=has_sph_tree,
+        has_quad_tree=has_quad_tree,
+        background_rgb=tuple(float(v) for v in background),
+        light_params=light_params,
+        has_emissive_image=any(
+            m["type"] == MAT_DIFFUSE_LIGHT
+            and textures
+            and textures[m.get("tex", 0)]["kind"] == TEX_IMAGE
+            for m in materials
+        ),
     )
