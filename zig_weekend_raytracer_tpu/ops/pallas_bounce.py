@@ -440,12 +440,15 @@ def _bounce_kernel(
     render/integrator.py:bounce line-for-line (reference semantics:
     src/render.zig:188-289).  ``cfg`` is the static scene configuration
     (see _fused_call)."""
+    regen = cfg["regen"]
     it = iter(range(len(refs)))
     nxt = lambda: refs[next(it)]
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, time_ref, rid_ref,
      thx_ref, thy_ref, thz_ref, rax_ref, ray_ref, raz_ref, alive_ref) = (
         nxt() for _ in range(15)
     )
+    if regen:
+        px_ref, py_ref, sample_ref, bounce_ref = (nxt() for _ in range(4))
     lut_ref = nxt()
     if cfg["sph_mode"] == TR_BRUTE:
         s_tab = nxt()
@@ -463,11 +466,23 @@ def _bounce_kernel(
         q_tab = q_box = q_link = q_oi = None
     (nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref,
      nthx_ref, nthy_ref, nthz_ref, nrax_ref, nray_ref, nraz_ref,
-     nalive_ref, uo_ref, vo_ref, io_ref) = (nxt() for _ in range(16))
+     nalive_ref) = (nxt() for _ in range(13))
+    if regen:
+        ntime_ref, nsample_ref, nbounce_ref, nrid_ref = (
+            nxt() for _ in range(4)
+        )
+    uo_ref, vo_ref, io_ref = (nxt() for _ in range(3))
 
     shape = (ROWS, LANE)
     alive_i = alive_ref[0]
-    any_alive = jnp.max(alive_i) > 0
+    if regen:
+        # a tile is live if any lane is alive OR can still respawn a sample
+        respawnable = (
+            sample_ref[0] + regen["stride"] < regen["sample_limit"]
+        )
+        any_alive = jnp.any((alive_i > 0) | respawnable)
+    else:
+        any_alive = jnp.max(alive_i) > 0
 
     @pl.when(jnp.logical_not(any_alive))
     def _passthrough():
@@ -484,6 +499,11 @@ def _bounce_kernel(
         nray_ref[0] = ray_ref[0]
         nraz_ref[0] = raz_ref[0]
         nalive_ref[0] = alive_i
+        if regen:
+            ntime_ref[0] = time_ref[0]
+            nsample_ref[0] = sample_ref[0]
+            nbounce_ref[0] = bounce_ref[0]
+            nrid_ref[0] = rid_ref[0]
         uo_ref[0] = jnp.zeros(shape, real)
         vo_ref[0] = jnp.zeros(shape, real)
         io_ref[0] = jnp.full(shape, -1, jnp.int32)
@@ -491,7 +511,6 @@ def _bounce_kernel(
     @pl.when(any_alive)
     def _run():
         seed = seed_ref[0, 0]
-        depth = depth_ref[0, 0]
         origin = V3(ox_ref[0], oy_ref[0], oz_ref[0])
         direction = V3(dx_ref[0], dy_ref[0], dz_ref[0])
         tm = time_ref[0]
@@ -500,6 +519,49 @@ def _bounce_kernel(
         radiance = V3(rax_ref[0], ray_ref[0], raz_ref[0])
         alive = alive_i > 0
         tmin_tile = jnp.full(shape, cfg["t_min"], real)
+
+        if regen:
+            # ---- path regeneration: dead lanes take their pixel's next
+            # sample and generate a fresh camera ray in-kernel (the
+            # "wavefront with regeneration" design; RNG stays
+            # content-addressed by (sample, pixel, path-bounce), so images
+            # are bit-identical to the non-regenerating integrator) ----
+            from ..render.camera import (
+                camera_params_from_consts,
+                generate_rays,
+            )
+
+            sample = sample_ref[0]
+            bounce_ct = bounce_ref[0]
+            pxv = px_ref[0]
+            pyv = py_ref[0]
+            next_sample = sample + regen["stride"]
+            respawn = jnp.logical_not(alive) & (
+                next_sample < regen["sample_limit"]
+            )
+            sample = jnp.where(respawn, next_sample, sample)
+            new_rid = (
+                sample.astype(jnp.uint32) * jnp.uint32(regen["height"])
+                + pyv.astype(jnp.uint32)
+            ) * jnp.uint32(regen["width"]) + pxv.astype(jnp.uint32)
+            rid = jnp.where(respawn, new_rid, rid)
+            camp = camera_params_from_consts(regen["camera"])
+            o_new, d_new, t_new = generate_rays(
+                camp, regen["has_dof"], regen["sampler"], seed, new_rid,
+                pxv, pyv, sample, regen["spp"], regen["width"],
+                regen["height"],
+            )
+            origin = V3.where(respawn, o_new, origin)
+            direction = V3.where(respawn, d_new, direction)
+            tm = jnp.where(respawn, t_new, tm)
+            throughput = V3.where(
+                respawn, V3.full(shape, 1.0, 1.0, 1.0, real), throughput
+            )
+            bounce_ct = jnp.where(respawn, 0, bounce_ct)
+            alive = alive | respawn
+            depth = bounce_ct  # per-lane RNG site selector
+        else:
+            depth = depth_ref[0, 0]
 
         # ---- trace ----
         ht = jnp.full(shape, _BIG, real)
@@ -670,6 +732,15 @@ def _bounce_kernel(
                 | (new_throughput.z != 0.0)
             )
             survives = survives & nonzero
+        if regen:
+            # depth cutoff per path (the while_loop bound of the
+            # non-regenerating integrator; reference: src/render.zig:199)
+            bounce_next = bounce_ct + 1
+            survives = survives & (bounce_next < regen["max_depth"])
+            ntime_ref[0] = tm
+            nsample_ref[0] = sample
+            nbounce_ref[0] = bounce_next
+            nrid_ref[0] = rid
 
         new_origin = V3.where(hitmask, point, origin)
         new_direction = V3.where(hitmask, new_dir, direction)
@@ -733,6 +804,147 @@ def _freeze(d):
     return tuple(sorted(d.items()))
 
 
+def _smem_spec(shape):
+    return pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM
+    )
+
+
+def _tile_spec():
+    return pl.BlockSpec(
+        (1, ROWS, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+
+def _scene_trace_inputs(scene: CompiledScene, cfg, ins, in_specs):
+    """Append the per-kind trace tables (brute or group-tree) to the kernel
+    inputs and record the strategy in cfg."""
+
+    def grouped(attrs):
+        """tuple of flat (G8,) arrays -> (n_attr, G, 8, 1) stacked tiles
+        (f32 attrs) + (G, 8, 1) identity (i32, last tuple entry)."""
+        f32s = jnp.stack(
+            [a.reshape(-1, 8, 1) for a in attrs[:-1]]
+        )
+        oi = attrs[-1].reshape(-1, 8, 1)
+        return f32s, oi
+
+    def brute_tab(flat_attrs):
+        """tuple of (S,) table columns -> (n_attr, G, 8, 1), zero-padded."""
+        s = flat_attrs[0].shape[0]
+        gpad = -(-s // 8) * 8
+        cols = []
+        for a in flat_attrs:
+            if gpad != s:
+                a = jnp.concatenate([a, jnp.zeros((gpad - s,), a.dtype)])
+            cols.append(a.reshape(-1, 8, 1))
+        return jnp.stack(cols)
+
+    if scene.has_sph_tree:
+        cfg["sph_mode"] = TR_TREE
+        tab, oi = grouped(scene.sph_tree_attrs)
+        ins += [scene.sph_tree_box, scene.sph_tree_link, tab, oi]
+        in_specs += [
+            _smem_spec(scene.sph_tree_box.shape),
+            _smem_spec(scene.sph_tree_link.shape),
+            _const_spec(tab.shape), _const_spec(oi.shape),
+        ]
+    elif scene.n_spheres > 0:
+        cfg["sph_mode"] = TR_BRUTE
+        tab = brute_tab((
+            scene.sph_center.x, scene.sph_center.y, scene.sph_center.z,
+            scene.sph_radius,
+            scene.sph_move.x, scene.sph_move.y, scene.sph_move.z,
+        ))
+        ins.append(tab)
+        in_specs.append(_const_spec(tab.shape))
+    else:
+        cfg["sph_mode"] = TR_NONE
+
+    if scene.has_quad_tree:
+        cfg["quad_mode"] = TR_TREE
+        tab, oi = grouped(scene.quad_tree_attrs)
+        ins += [scene.quad_tree_box, scene.quad_tree_link, tab, oi]
+        in_specs += [
+            _smem_spec(scene.quad_tree_box.shape),
+            _smem_spec(scene.quad_tree_link.shape),
+            _const_spec(tab.shape), _const_spec(oi.shape),
+        ]
+    elif scene.n_quads > 0:
+        cfg["quad_mode"] = TR_BRUTE
+        tab = brute_tab((
+            scene.quad_start.x, scene.quad_start.y, scene.quad_start.z,
+            scene.quad_normal.x, scene.quad_normal.y, scene.quad_normal.z,
+            scene.quad_w.x, scene.quad_w.y, scene.quad_w.z,
+            scene.quad_u.x, scene.quad_u.y, scene.quad_u.z,
+            scene.quad_v.x, scene.quad_v.y, scene.quad_v.z,
+            scene.quad_offset,
+        ))
+        ins.append(tab)
+        in_specs.append(_const_spec(tab.shape))
+    else:
+        cfg["quad_mode"] = TR_NONE
+
+
+def _base_cfg(scene: CompiledScene, t_min, terminate_zero):
+    return {
+        "t_min": float(t_min),
+        "has_moving": scene.has_moving,
+        "has_images": scene.has_image_textures,
+        "terminate_zero": terminate_zero,
+        "n_sph": scene.n_spheres,
+        "n_quad": scene.n_quads,
+        "lut_rows": scene.shade_lut.shape[1],
+        "light_params": scene.light_params,
+        "background": scene.background_rgb,
+        "leaf_groups": _leaf_groups(),
+        "sph_nodes": scene.sph_tree_box.shape[0],
+        "quad_nodes": scene.quad_tree_box.shape[0],
+        "regen": None,
+    }
+
+
+def _call_kernel(scene, cfg, ins, in_specs, g, n_outs):
+    out_shape = (
+        [jax.ShapeDtypeStruct((g, ROWS, LANE), real) for _ in range(12)]
+        + [jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32)]
+    )
+    if cfg["regen"]:
+        out_shape += [
+            jax.ShapeDtypeStruct((g, ROWS, LANE), real),        # time
+            jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32),   # sample
+            jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32),   # bounce
+            jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.uint32),  # ray id
+        ]
+    out_shape += [
+        jax.ShapeDtypeStruct((g, ROWS, LANE), real),
+        jax.ShapeDtypeStruct((g, ROWS, LANE), real),
+        jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32),
+    ]
+    assert len(out_shape) == n_outs
+    return pl.pallas_call(
+        functools.partial(_bounce_kernel, cfg=cfg),
+        grid_spec=pl.GridSpec(
+            grid=(g,),
+            in_specs=in_specs,
+            out_specs=[_tile_spec()] * n_outs,
+        ),
+        out_shape=out_shape,
+        # Big scenes (two trees + LUT + image-uv block) spill past the
+        # default 16M scoped-vmem budget; v5e has headroom above it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_interpret(),
+    )(*ins)
+
+
 def bounce_pallas(
     scene: CompiledScene,
     origin: V3, direction: V3, time, ray_id,
@@ -755,23 +967,6 @@ def bounce_pallas(
     def tile(x, fill=0.0):
         return pad(x, fill).reshape(g, ROWS, LANE)
 
-    def smem_spec(shape):
-        return pl.BlockSpec(
-            shape, lambda i: tuple(0 for _ in shape),
-            memory_space=pltpu.SMEM,
-        )
-
-    def ray_spec():
-        return pl.BlockSpec(
-            (1, ROWS, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        )
-
-    def const_spec(shape):
-        return pl.BlockSpec(
-            shape, lambda i: tuple(0 for _ in shape),
-            memory_space=pltpu.VMEM,
-        )
-
     ins = [
         jnp.asarray(seed, jnp.uint32).reshape(1, 1),
         jnp.asarray(depth, jnp.int32).reshape(1, 1),
@@ -783,109 +978,15 @@ def bounce_pallas(
         tile(alive.astype(jnp.int32)),
         scene.shade_lut,
     ]
-    in_specs = [smem_spec((1, 1)), smem_spec((1, 1))] + [ray_spec()] * 15 + [
-        const_spec(scene.shade_lut.shape)
-    ]
+    in_specs = (
+        [_smem_spec((1, 1)), _smem_spec((1, 1))]
+        + [_tile_spec()] * 15
+        + [_const_spec(scene.shade_lut.shape)]
+    )
+    cfg = _base_cfg(scene, t_min, terminate_zero)
+    _scene_trace_inputs(scene, cfg, ins, in_specs)
 
-    def grouped(attrs):
-        """tuple of flat (G8,) arrays -> (n_attr, G, 8, 1) stacked tiles
-        (f32 attrs) + (G, 8, 1) identity (i32, last tuple entry)."""
-        f32s = jnp.stack(
-            [a.reshape(-1, 8, 1) for a in attrs[:-1]]
-        )
-        oi = attrs[-1].reshape(-1, 8, 1)
-        return f32s, oi
-
-    def brute_tab(flat_attrs):
-        """tuple of (S,) table columns -> (n_attr, G, 8, 1), zero-padded."""
-        s = flat_attrs[0].shape[0]
-        gpad = -(-s // 8) * 8
-        cols = []
-        for a in flat_attrs:
-            if gpad != s:
-                a = jnp.concatenate([a, jnp.zeros((gpad - s,), a.dtype)])
-            cols.append(a.reshape(-1, 8, 1))
-        return jnp.stack(cols)
-
-    cfg = {
-        "t_min": float(t_min),
-        "has_moving": scene.has_moving,
-        "has_images": scene.has_image_textures,
-        "terminate_zero": terminate_zero,
-        "n_sph": scene.n_spheres,
-        "n_quad": scene.n_quads,
-        "lut_rows": scene.shade_lut.shape[1],
-        "light_params": scene.light_params,
-        "background": scene.background_rgb,
-        "leaf_groups": _leaf_groups(),
-        "sph_nodes": scene.sph_tree_box.shape[0],
-        "quad_nodes": scene.quad_tree_box.shape[0],
-    }
-
-    if scene.has_sph_tree:
-        cfg["sph_mode"] = TR_TREE
-        tab, oi = grouped(scene.sph_tree_attrs)
-        ins += [scene.sph_tree_box, scene.sph_tree_link, tab, oi]
-        in_specs += [
-            smem_spec(scene.sph_tree_box.shape),
-            smem_spec(scene.sph_tree_link.shape),
-            const_spec(tab.shape), const_spec(oi.shape),
-        ]
-    elif scene.n_spheres > 0:
-        cfg["sph_mode"] = TR_BRUTE
-        tab = brute_tab((
-            scene.sph_center.x, scene.sph_center.y, scene.sph_center.z,
-            scene.sph_radius,
-            scene.sph_move.x, scene.sph_move.y, scene.sph_move.z,
-        ))
-        ins.append(tab)
-        in_specs.append(const_spec(tab.shape))
-    else:
-        cfg["sph_mode"] = TR_NONE
-
-    if scene.has_quad_tree:
-        cfg["quad_mode"] = TR_TREE
-        tab, oi = grouped(scene.quad_tree_attrs)
-        ins += [scene.quad_tree_box, scene.quad_tree_link, tab, oi]
-        in_specs += [
-            smem_spec(scene.quad_tree_box.shape),
-            smem_spec(scene.quad_tree_link.shape),
-            const_spec(tab.shape), const_spec(oi.shape),
-        ]
-    elif scene.n_quads > 0:
-        cfg["quad_mode"] = TR_BRUTE
-        tab = brute_tab((
-            scene.quad_start.x, scene.quad_start.y, scene.quad_start.z,
-            scene.quad_normal.x, scene.quad_normal.y, scene.quad_normal.z,
-            scene.quad_w.x, scene.quad_w.y, scene.quad_w.z,
-            scene.quad_u.x, scene.quad_u.y, scene.quad_u.z,
-            scene.quad_v.x, scene.quad_v.y, scene.quad_v.z,
-            scene.quad_offset,
-        ))
-        ins.append(tab)
-        in_specs.append(const_spec(tab.shape))
-    else:
-        cfg["quad_mode"] = TR_NONE
-
-    f32 = lambda: jax.ShapeDtypeStruct((g, ROWS, LANE), real)
-    i32 = lambda: jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32)
-    out_shape = [f32() for _ in range(12)] + [i32(), f32(), f32(), i32()]
-
-    outs = pl.pallas_call(
-        functools.partial(_bounce_kernel, cfg=cfg),
-        grid_spec=pl.GridSpec(
-            grid=(g,),
-            in_specs=in_specs,
-            out_specs=[ray_spec()] * 16,
-        ),
-        out_shape=out_shape,
-        # Big scenes (two trees + LUT + image-uv block) spill past the
-        # default 16M scoped-vmem budget; v5e has headroom above it.
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=_interpret(),
-    )(*ins)
+    outs = _call_kernel(scene, cfg, ins, in_specs, g, 16)
 
     def untile(x):
         return x.reshape(n_pad)[:n]
@@ -899,4 +1000,75 @@ def bounce_pallas(
         V3(untile(nrax), untile(nray), untile(nraz)),
         untile(nalive) > 0,
         (untile(uo), untile(vo), untile(io)),
+    )
+
+
+def bounce_pallas_regen(
+    scene: CompiledScene,
+    origin: V3, direction: V3, time, ray_id,
+    throughput: V3, radiance: V3, alive,
+    px, py, sample, bounce,
+    seed, t_min, *,
+    camera_consts, sampler, width, height, spp, stride, sample_limit,
+    max_depth, has_dof,
+    terminate_zero: bool = True,
+):
+    """One regenerating bounce: dead lanes respawn their pixel's next sample
+    (camera ray generated in-kernel) before tracing.  All array args must
+    already be BLK multiples (the regen driver keeps the whole wavefront
+    padded).  Returns the full updated state tuple."""
+    n = origin.shape[0]
+    assert n % BLK == 0, "regen wavefronts are pre-padded"
+    g = n // BLK
+
+    def tile(x):
+        return x.reshape(g, ROWS, LANE)
+
+    ins = [
+        jnp.asarray(seed, jnp.uint32).reshape(1, 1),
+        jnp.zeros((1, 1), jnp.int32),  # depth scalar unused in regen mode
+        tile(origin.x), tile(origin.y), tile(origin.z),
+        tile(direction.x), tile(direction.y), tile(direction.z),
+        tile(time), tile(ray_id),
+        tile(throughput.x), tile(throughput.y), tile(throughput.z),
+        tile(radiance.x), tile(radiance.y), tile(radiance.z),
+        tile(alive.astype(jnp.int32)),
+        tile(px), tile(py), tile(sample), tile(bounce),
+        scene.shade_lut,
+    ]
+    in_specs = (
+        [_smem_spec((1, 1)), _smem_spec((1, 1))]
+        + [_tile_spec()] * 19
+        + [_const_spec(scene.shade_lut.shape)]
+    )
+    cfg = _base_cfg(scene, t_min, terminate_zero)
+    cfg["regen"] = {
+        "camera": camera_consts,
+        "sampler": sampler,
+        "width": width,
+        "height": height,
+        "spp": spp,
+        "stride": stride,
+        "sample_limit": sample_limit,
+        "max_depth": max_depth,
+        "has_dof": has_dof,
+    }
+    _scene_trace_inputs(scene, cfg, ins, in_specs)
+
+    outs = _call_kernel(scene, cfg, ins, in_specs, g, 20)
+
+    def u(x):
+        return x.reshape(n)
+
+    (nox, noy, noz, ndx, ndy, ndz, nthx, nthy, nthz,
+     nrax, nray, nraz, nalive, ntime, nsample, nbounce, nrid,
+     uo, vo, io) = outs
+    return (
+        V3(u(nox), u(noy), u(noz)),
+        V3(u(ndx), u(ndy), u(ndz)),
+        V3(u(nthx), u(nthy), u(nthz)),
+        V3(u(nrax), u(nray), u(nraz)),
+        u(nalive) > 0,
+        u(ntime), u(nsample), u(nbounce), u(nrid),
+        (u(uo), u(vo), u(io)),
     )

@@ -64,7 +64,7 @@ def _leaf_groups() -> int:
     """Sublane groups (x8 prims) per tree leaf.  Fatter leaves cut traversal
     steps (scalar-latency bound) at the price of culling granularity.  Must
     match the value the scene was compiled with (scene.py reads this too)."""
-    return int(os.environ.get("ZWRT_LEAF_GROUPS", "2"))
+    return int(os.environ.get("ZWRT_LEAF_GROUPS", "4"))
 
 
 def _prim_block(n_prims: int) -> int:

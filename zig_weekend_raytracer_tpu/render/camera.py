@@ -57,6 +57,25 @@ def camera_params(camera: Camera, width: int, height: int) -> CameraParams:
     )
 
 
+def camera_consts(camera: Camera, width: int, height: int):
+    """CameraParams as a STATIC nested tuple of floats — the form the Pallas
+    regeneration kernel bakes in as compile-time constants (and a valid jit
+    static argument)."""
+    pixel00, du, dv = camera.viewport(width, height)
+    dd_u, dd_v = camera.defocus_disk()
+    t3 = lambda a: tuple(float(v) for v in np.asarray(a))
+    return (
+        t3(camera.look_from), t3(pixel00), t3(du), t3(dv), t3(dd_u), t3(dd_v)
+    )
+
+
+def camera_params_from_consts(consts) -> CameraParams:
+    """Static float tuple -> CameraParams of numpy scalars (broadcast-safe
+    inside kernels: no device constants are created)."""
+    s3 = lambda t: V3(np.float32(t[0]), np.float32(t[1]), np.float32(t[2]))
+    return CameraParams(*(s3(t) for t in consts))
+
+
 def generate_rays(
     cam: CameraParams,
     has_dof: bool,
@@ -77,7 +96,7 @@ def generate_rays(
         + cam.delta_u * (px.astype(real) + ox)
         + cam.delta_v * (py.astype(real) + oy)
     )
-    n = px.shape[0]
+    shape = px.shape
     if has_dof:
         ud, g1, g2, _ = hashrng.uniform4(seed, ray_id, SITE_DOF)
         gx, gy = hashrng.gauss2(seed, ray_id, SITE_DOF + 4)
@@ -85,9 +104,9 @@ def generate_rays(
         origin = cam.position + cam.defocus_u * dx + cam.defocus_v * dy
     else:
         origin = V3(
-            jnp.broadcast_to(cam.position.x, (n,)),
-            jnp.broadcast_to(cam.position.y, (n,)),
-            jnp.broadcast_to(cam.position.z, (n,)),
+            jnp.broadcast_to(cam.position.x, shape),
+            jnp.broadcast_to(cam.position.y, shape),
+            jnp.broadcast_to(cam.position.z, shape),
         )
     direction = sample_pos - origin
     time = hashrng.uniform1(seed, ray_id, SITE_TIME)

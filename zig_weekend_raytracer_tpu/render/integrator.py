@@ -73,6 +73,89 @@ class PathState(NamedTuple):
     slot: jnp.ndarray        # (N,) i32 original wavefront position
 
 
+class RegenState(NamedTuple):
+    origin: V3
+    direction: V3
+    time: jnp.ndarray
+    throughput: V3
+    radiance: V3
+    alive: jnp.ndarray
+    ray_id: jnp.ndarray
+    sample: jnp.ndarray   # (N,) i32 current sample index per slot
+    bounce: jnp.ndarray   # (N,) i32 per-path bounce counter
+
+
+def trace_paths_regen(
+    scene: CompiledScene,
+    camera_consts,          # static float tuple (render.camera.camera_consts)
+    seed,                   # u32 scalar
+    px: jnp.ndarray,        # (N,) i32 per-slot pixel column (BLK multiple)
+    py: jnp.ndarray,        # (N,) i32 per-slot pixel row
+    first_sample: jnp.ndarray,  # (N,) i32 per-slot first sample index
+    *,
+    sampler,
+    width: int,
+    height: int,
+    spp: int,
+    stride: int,
+    sample_limit: int,
+    max_depth: int,
+    has_dof: bool,
+    terminate_zero_throughput: bool = True,
+) -> V3:
+    """Regenerating wavefront: each slot owns one pixel and sequentially
+    path-traces samples ``first_sample, first_sample + stride, ...`` below
+    ``sample_limit``; a lane whose path terminates respawns its next sample
+    IN the bounce kernel, so lane utilization stays ~100% instead of
+    decaying with the alive fraction (the production form of the wavefront
+    design; the reference instead gives each CPU thread a pixel-block queue,
+    src/render.zig:55-73).  Returns the per-slot radiance SUM over its
+    samples; the content-addressed RNG keeps results bit-identical to the
+    non-regenerating integrator."""
+    from ..ops.pallas_bounce import bounce_pallas_regen
+
+    n = px.shape[0]
+    state = RegenState(
+        origin=V3.zeros((n,), real),
+        direction=V3.full((n,), 0.0, 0.0, 1.0, real),
+        time=jnp.zeros((n,), real),
+        throughput=V3.full((n,), 1.0, 1.0, 1.0, real),
+        radiance=V3.zeros((n,), real),
+        alive=jnp.zeros((n,), bool),
+        ray_id=jnp.zeros((n,), jnp.uint32),
+        sample=first_sample - stride,  # pre-first: bounce 0 respawns it
+        bounce=jnp.zeros((n,), jnp.int32),
+    )
+
+    def cond(st: RegenState):
+        return jnp.any(st.alive | (st.sample + stride < sample_limit))
+
+    def body(st: RegenState):
+        origin, direction, throughput, radiance, alive, time, sample, \
+            bounce, ray_id, (u, v, io) = bounce_pallas_regen(
+                scene, st.origin, st.direction, st.time, st.ray_id,
+                st.throughput, st.radiance, st.alive,
+                px, py, st.sample, st.bounce,
+                seed, T_MIN,
+                camera_consts=camera_consts, sampler=sampler,
+                width=width, height=height, spp=spp, stride=stride,
+                sample_limit=sample_limit, max_depth=max_depth,
+                has_dof=has_dof,
+                terminate_zero=terminate_zero_throughput,
+            )
+        if scene.has_image_textures:
+            img_rgb = atlas_lookup(scene, jnp.maximum(io, 0), u, v)
+            throughput = V3.where(io >= 0, throughput * img_rgb, throughput)
+        return RegenState(
+            origin=origin, direction=direction, time=time,
+            throughput=throughput, radiance=radiance, alive=alive,
+            ray_id=ray_id, sample=sample, bounce=bounce,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final.radiance
+
+
 def _compact(st: PathState) -> PathState:
     """Stream compaction: permute live paths to the front of the wavefront.
 

@@ -123,6 +123,32 @@ def _render_batch(
 
     h_pad = n_bands * band_rows
     fb = jnp.zeros((h_pad, width, 3), real)
+
+    from ..ops.pallas_bounce import supports_bounce_kernel
+    from ..ops.trace import _use_pallas_backend
+
+    if _use_pallas_backend() and supports_bounce_kernel(scene.compiled):
+        from .camera import camera_consts
+        from .renderer import _render_band_regen
+
+        s_par, band_rows_r = renderer.regen_geometry(width, height, spp_now)
+        n_bands_r = -(-height // band_rows_r)
+        fb = jnp.zeros((n_bands_r * band_rows_r, width, 3), real)
+        cam_c = camera_consts(scene.camera, width, height)
+        for b in range(n_bands_r):
+            out = _render_band_regen(
+                scene.compiled, seed,
+                jnp.int32(b * band_rows_r), jnp.int32(sample0),
+                width=width, height=height, band_rows=band_rows_r,
+                s_par=s_par, spp=total_spp,
+                sample_limit=min(sample0 + spp_now, total_spp),
+                max_depth=renderer.max_ray_bounce_depth,
+                sampler=renderer.sampler, has_dof=has_dof,
+                cam_consts=cam_c,
+            )
+            fb = fb.at[b * band_rows_r : (b + 1) * band_rows_r].add(out)
+        return fb[:height]
+
     for b in range(n_bands):
         for c in range(n_chunks):
             s0 = sample0 + c * spp_chunk

@@ -27,8 +27,8 @@ from ..dtypes import real
 from ..sampling.sampler import SamplerKind
 from ..scene import CompiledScene, Scene
 from ..utils.profiler import named_zone
-from .camera import CameraParams, camera_params, generate_rays
-from .integrator import trace_paths
+from .camera import CameraParams, camera_consts, camera_params, generate_rays
+from .integrator import trace_paths, trace_paths_regen
 
 log = logging.getLogger("zwrt")
 
@@ -157,6 +157,62 @@ def _render_band(
         )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "band_rows", "s_par", "spp", "sample_limit",
+        "max_depth", "sampler", "has_dof", "cam_consts",
+    ),
+)
+def _render_band_regen(
+    scene: CompiledScene,
+    seed: jnp.ndarray,      # u32 scalar
+    band_y0: jnp.ndarray,   # scalar i32
+    sample0: jnp.ndarray,   # scalar i32
+    *,
+    width: int,
+    height: int,
+    band_rows: int,
+    s_par: int,             # samples in flight per pixel (slot parallelism)
+    spp: int,               # TOTAL spp (sampler stratification geometry)
+    sample_limit: int,      # first sample index NOT rendered
+    max_depth: int,
+    sampler: SamplerKind,
+    has_dof: bool,
+    cam_consts,             # static float tuple (camera_consts)
+) -> jnp.ndarray:
+    """Regenerating-wavefront band render (Pallas bounce-kernel path): each
+    of band_rows*width*s_par slots sequentially traces its pixel's samples
+    {sample0 + k + j*s_par} < sample_limit, respawning in-kernel.  Returns
+    the radiance sum over those samples, (band_rows, width, 3)."""
+    with named_zone("Renderer::render"):
+        tile = pick_tile(width, band_rows)
+        px, py, sidx, _ = ray_grid(
+            width, height, band_y0, band_rows, sample0, s_par, tile
+        )
+        n = px.shape[0]
+        from ..ops.pallas_trace import BLK
+
+        n_pad = -(-n // BLK) * BLK
+        if n_pad != n:
+            # padding slots start beyond the limit -> never respawn
+            px = jnp.concatenate([px, jnp.zeros((n_pad - n,), px.dtype)])
+            py = jnp.concatenate([py, jnp.zeros((n_pad - n,), py.dtype)])
+            sidx = jnp.concatenate(
+                [sidx, jnp.full((n_pad - n,), sample_limit, sidx.dtype)]
+            )
+        radiance = trace_paths_regen(
+            scene, cam_consts, seed, px, py, sidx,
+            sampler=sampler, width=width, height=height, spp=spp,
+            stride=s_par, sample_limit=sample_limit, max_depth=max_depth,
+            has_dof=has_dof,
+        )
+        rad = radiance.to_array()[:n]
+        return unflatten_radiance(rad, width, band_rows, s_par, tile).sum(
+            axis=0
+        )
+
+
 @dataclasses.dataclass
 class Renderer:
     """User-facing render configuration (reference: Renderer struct,
@@ -192,6 +248,23 @@ class Renderer:
         band_rows = max(1, min(height, max_rays // (width * spp_chunk)))
         return spp_chunk, band_rows
 
+    # Minimum lanes to keep the VPU busy on the regenerating path; beyond
+    # this, FEWER parallel samples per pixel is faster (sequential samples
+    # amortize the straggler tail of long paths — measured 82 vs 43 Mpaths/s
+    # on cornell 400x400@128spp for s_par 1 vs 13).
+    regen_min_wave: int = 1 << 17
+
+    def regen_geometry(self, width: int, height: int, spp: int):
+        """(s_par, band_rows) for the regenerating wavefront: just enough
+        samples-in-flight per pixel to fill the chip, rows capped by the
+        transient-memory budget."""
+        pixels = max(width * height, 1)
+        s_par = max(1, min(spp, -(-self.regen_min_wave // pixels)))
+        band_rows = max(
+            1, min(height, self.max_rays_per_chunk // (width * s_par))
+        )
+        return s_par, band_rows
+
     def render(
         self,
         scene: Scene,
@@ -221,12 +294,37 @@ class Renderer:
         has_dof = scene.camera.has_depth_of_field
         seed = jnp.uint32(self.seed)
 
+        from ..ops.pallas_bounce import supports_bounce_kernel
+        from ..ops.trace import _use_pallas_backend
+
+        use_regen = _use_pallas_backend() and supports_bounce_kernel(
+            scene.compiled
+        )
+
+        if use_regen:
+            # Regenerating wavefront: one wave per band covers ALL samples.
+            s_par, band_rows = self.regen_geometry(width, height, spp)
+            n_bands = -(-height // band_rows)
+            fb = jnp.zeros((n_bands * band_rows, width, 3), real)
+            cam_c = camera_consts(scene.camera, width, height)
+            for b in range(n_bands):
+                out = _render_band_regen(
+                    scene.compiled, seed,
+                    jnp.int32(b * band_rows), jnp.int32(0),
+                    width=width, height=height, band_rows=band_rows,
+                    s_par=s_par, spp=spp, sample_limit=spp,
+                    max_depth=self.max_ray_bounce_depth,
+                    sampler=self.sampler, has_dof=has_dof,
+                    cam_consts=cam_c,
+                )
+                fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
+            return fb[:height] / real(spp)
+
         spp_chunk, band_rows = self.chunk_geometry(scene, width, height, spp)
         n_bands = -(-height // band_rows)
-        n_chunks = -(-spp // spp_chunk)
-
         h_pad = n_bands * band_rows
         fb = jnp.zeros((h_pad, width, 3), real)
+        n_chunks = -(-spp // spp_chunk)
         for b in range(n_bands):
             for c in range(n_chunks):
                 out = _render_band(

@@ -128,8 +128,16 @@ def sobol_sample_u32(idx_hi: jnp.ndarray, idx_lo: jnp.ndarray, dim: int) -> jnp.
 
 def u32_to_unit_float(v: jnp.ndarray) -> jnp.ndarray:
     """u32 -> [0, 1) float as ``min(v * 2^-32, 1-eps)``
-    (reference: src/math/sampler.zig:262-263)."""
-    vf = v.astype(real) * real(2.0 ** -32)
+    (reference: src/math/sampler.zig:262-263).
+
+    The u32 is converted via exact 16-bit halves (hi*65536 is a power-of-two
+    scaling of an exact integer; the single summation rounding equals the
+    direct u32->f32 round-to-nearest) — bit-identical to a plain cast, and
+    unlike one it also lowers inside Pallas TPU kernels.
+    """
+    hi = (v >> _U32(16)).astype(jnp.int32).astype(real)
+    lo = (v & _U32(0xFFFF)).astype(jnp.int32).astype(real)
+    vf = (hi * real(65536.0) + lo) * real(2.0 ** -32)
     return jnp.minimum(vf, real(_F32_ONE_MINUS_EPS))
 
 
