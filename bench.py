@@ -1,15 +1,12 @@
-"""Benchmark harness: renders the canonical config on real TPU hardware and
+"""Benchmark harness: renders the north-star config on real TPU hardware and
 prints ONE JSON line for the driver.
 
-Canonical config = the reference's de facto benchmark invocation
-(reference README.md:36): 400x400, spp=128, depth=10, scene selectable
-(cornell_box exercises the importance-sampled path, the BASELINE.json
-headline).
-
-The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
-reported against the BASELINE.json north star: Cornell 400x400 @ 1000 spp in
-1 s on one v5e chip = 160 Mpaths/s.  vs_baseline = achieved Mpaths/s / 160,
-i.e. 1.0 means the north star is met.
+North-star config (BASELINE.json): Cornell box 400x400 @ 1024 spp (nearest
+power of two to the stated 1k; Sobol wants pow2), depth 10, < 1 s on one
+v5e chip = ~160 Mpaths/s.  vs_baseline = achieved Mpaths/s / 160, i.e.
+>= 1.0 means the north star is met.  Steady-state: the first (warmup)
+render also measures the per-pixel cost map that later renders use for
+cost-sorted tile packing (render/renderer.py:_render_band_sorted_driver).
 """
 
 import json
@@ -23,7 +20,7 @@ def main() -> None:
     import zig_weekend_raytracer_tpu as zwrt
 
     width = height = 400
-    spp = 128
+    spp = 1024
     depth = 10
     scene = zwrt.models.load_scene("cornell_box")
     renderer = zwrt.render.Renderer(
@@ -53,7 +50,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "cornell_box 400x400 @128spp depth10 path throughput (1 v5e chip)",
+                "metric": "cornell_box 400x400 @1024spp depth10 path throughput (1 v5e chip; north-star config)",
                 "value": round(mpaths_per_s, 2),
                 "unit": "Mpaths/s",
                 "vs_baseline": round(mpaths_per_s / north_star_mpaths_per_s, 4),

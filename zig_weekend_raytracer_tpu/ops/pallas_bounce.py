@@ -431,6 +431,68 @@ def _tree_pass(
 # The fused kernel
 # ---------------------------------------------------------------------------
 
+def _unpack_trace_refs(cfg, nxt):
+    """Pull the per-kind trace-table refs off the kernel argument list into a
+    dict keyed like _trace_values expects."""
+    tr = {}
+    if cfg["sph_mode"] == TR_BRUTE:
+        tr["s_tab"] = nxt()
+        tr["s_box"] = tr["s_link"] = tr["s_oi"] = None
+    elif cfg["sph_mode"] == TR_TREE:
+        tr["s_box"], tr["s_link"], tr["s_tab"], tr["s_oi"] = (
+            nxt(), nxt(), nxt(), nxt()
+        )
+    else:
+        tr["s_tab"] = tr["s_box"] = tr["s_link"] = tr["s_oi"] = None
+    if cfg["quad_mode"] == TR_BRUTE:
+        tr["q_tab"] = nxt()
+        tr["q_box"] = tr["q_link"] = tr["q_oi"] = None
+    elif cfg["quad_mode"] == TR_TREE:
+        tr["q_box"], tr["q_link"], tr["q_tab"], tr["q_oi"] = (
+            nxt(), nxt(), nxt(), nxt()
+        )
+    else:
+        tr["q_tab"] = tr["q_box"] = tr["q_link"] = tr["q_oi"] = None
+    return tr
+
+
+def _respawn_values(
+    cfg, seed, pxv, pyv, limit,
+    origin, direction, tm, rid, throughput, sample, bounce_ct, alive,
+):
+    """Path regeneration on in-register values: dead lanes take their
+    pixel's next sample and generate a fresh camera ray in-kernel (the
+    "wavefront with regeneration" design; RNG stays content-addressed by
+    (sample, pixel, path-bounce), so images are bit-identical to the
+    non-regenerating integrator)."""
+    from ..render.camera import camera_params_from_consts, generate_rays
+
+    regen = cfg["regen"]
+    shape = origin.shape
+    next_sample = sample + regen["stride"]
+    respawn = jnp.logical_not(alive) & (next_sample < limit)
+    sample = jnp.where(respawn, next_sample, sample)
+    new_rid = (
+        sample.astype(jnp.uint32) * jnp.uint32(regen["height"])
+        + pyv.astype(jnp.uint32)
+    ) * jnp.uint32(regen["width"]) + pxv.astype(jnp.uint32)
+    rid = jnp.where(respawn, new_rid, rid)
+    camp = camera_params_from_consts(regen["camera"])
+    o_new, d_new, t_new = generate_rays(
+        camp, regen["has_dof"], regen["sampler"], seed, new_rid,
+        pxv, pyv, sample, regen["spp"], regen["width"], regen["height"],
+    )
+    origin = V3.where(respawn, o_new, origin)
+    direction = V3.where(respawn, d_new, direction)
+    tm = jnp.where(respawn, t_new, tm)
+    throughput = V3.where(
+        respawn, V3.full(shape, 1.0, 1.0, 1.0, real), throughput
+    )
+    bounce_ct = jnp.where(respawn, 0, bounce_ct)
+    alive = alive | respawn
+    return origin, direction, tm, rid, throughput, sample, bounce_ct, alive
+
+
 def _bounce_kernel(
     seed_ref, depth_ref,
     *refs,
@@ -448,22 +510,12 @@ def _bounce_kernel(
         nxt() for _ in range(15)
     )
     if regen:
-        px_ref, py_ref, sample_ref, bounce_ref = (nxt() for _ in range(4))
+        px_ref, py_ref, sample_ref, bounce_ref, limit_ref = (
+            nxt() for _ in range(5)
+        )
+        work_ref = nxt() if regen["work"] else None
     lut_ref = nxt()
-    if cfg["sph_mode"] == TR_BRUTE:
-        s_tab = nxt()
-        s_box = s_link = s_oi = None
-    elif cfg["sph_mode"] == TR_TREE:
-        s_box, s_link, s_tab, s_oi = nxt(), nxt(), nxt(), nxt()
-    else:
-        s_tab = s_box = s_link = s_oi = None
-    if cfg["quad_mode"] == TR_BRUTE:
-        q_tab = nxt()
-        q_box = q_link = q_oi = None
-    elif cfg["quad_mode"] == TR_TREE:
-        q_box, q_link, q_tab, q_oi = nxt(), nxt(), nxt(), nxt()
-    else:
-        q_tab = q_box = q_link = q_oi = None
+    trace = _unpack_trace_refs(cfg, nxt)
     (nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref,
      nthx_ref, nthy_ref, nthz_ref, nrax_ref, nray_ref, nraz_ref,
      nalive_ref) = (nxt() for _ in range(13))
@@ -471,15 +523,16 @@ def _bounce_kernel(
         ntime_ref, nsample_ref, nbounce_ref, nrid_ref = (
             nxt() for _ in range(4)
         )
+        nwork_ref = nxt() if regen["work"] else None
     uo_ref, vo_ref, io_ref = (nxt() for _ in range(3))
 
     shape = (ROWS, LANE)
     alive_i = alive_ref[0]
     if regen:
         # a tile is live if any lane is alive OR can still respawn a sample
-        respawnable = (
-            sample_ref[0] + regen["stride"] < regen["sample_limit"]
-        )
+        # (the per-lane limit makes sample budgets lane-local, which is what
+        # the profile-guided load balancer needs)
+        respawnable = sample_ref[0] + regen["stride"] < limit_ref[0]
         any_alive = jnp.any((alive_i > 0) | respawnable)
     else:
         any_alive = jnp.max(alive_i) > 0
@@ -504,6 +557,8 @@ def _bounce_kernel(
             nsample_ref[0] = sample_ref[0]
             nbounce_ref[0] = bounce_ref[0]
             nrid_ref[0] = rid_ref[0]
+            if regen["work"]:
+                nwork_ref[0] = work_ref[0]
         uo_ref[0] = jnp.zeros(shape, real)
         vo_ref[0] = jnp.zeros(shape, real)
         io_ref[0] = jnp.full(shape, -1, jnp.int32)
@@ -518,220 +573,28 @@ def _bounce_kernel(
         throughput = V3(thx_ref[0], thy_ref[0], thz_ref[0])
         radiance = V3(rax_ref[0], ray_ref[0], raz_ref[0])
         alive = alive_i > 0
-        tmin_tile = jnp.full(shape, cfg["t_min"], real)
 
         if regen:
-            # ---- path regeneration: dead lanes take their pixel's next
-            # sample and generate a fresh camera ray in-kernel (the
-            # "wavefront with regeneration" design; RNG stays
-            # content-addressed by (sample, pixel, path-bounce), so images
-            # are bit-identical to the non-regenerating integrator) ----
-            from ..render.camera import (
-                camera_params_from_consts,
-                generate_rays,
-            )
-
             sample = sample_ref[0]
-            bounce_ct = bounce_ref[0]
-            pxv = px_ref[0]
-            pyv = py_ref[0]
-            next_sample = sample + regen["stride"]
-            respawn = jnp.logical_not(alive) & (
-                next_sample < regen["sample_limit"]
+            (origin, direction, tm, rid, throughput, sample, bounce_ct,
+             alive) = _respawn_values(
+                cfg, seed, px_ref[0], py_ref[0], limit_ref[0],
+                origin, direction, tm, rid, throughput,
+                sample, bounce_ref[0], alive,
             )
-            sample = jnp.where(respawn, next_sample, sample)
-            new_rid = (
-                sample.astype(jnp.uint32) * jnp.uint32(regen["height"])
-                + pyv.astype(jnp.uint32)
-            ) * jnp.uint32(regen["width"]) + pxv.astype(jnp.uint32)
-            rid = jnp.where(respawn, new_rid, rid)
-            camp = camera_params_from_consts(regen["camera"])
-            o_new, d_new, t_new = generate_rays(
-                camp, regen["has_dof"], regen["sampler"], seed, new_rid,
-                pxv, pyv, sample, regen["spp"], regen["width"],
-                regen["height"],
-            )
-            origin = V3.where(respawn, o_new, origin)
-            direction = V3.where(respawn, d_new, direction)
-            tm = jnp.where(respawn, t_new, tm)
-            throughput = V3.where(
-                respawn, V3.full(shape, 1.0, 1.0, 1.0, real), throughput
-            )
-            bounce_ct = jnp.where(respawn, 0, bounce_ct)
-            alive = alive | respawn
+            if regen["work"]:
+                # lanes that trace this call did one unit of work — the
+                # per-pixel cost signal for profile-guided balancing
+                nwork_ref[0] = work_ref[0] + alive.astype(jnp.int32)
             depth = bounce_ct  # per-lane RNG site selector
         else:
             depth = depth_ref[0, 0]
 
-        # ---- trace ----
-        ht = jnp.full(shape, _BIG, real)
-        hk = jnp.full(shape, -1, jnp.int32)
-        hi = jnp.zeros(shape, jnp.int32)
-        has_moving = cfg["has_moving"]
-        if cfg["sph_mode"] == TR_BRUTE:
-            ht, hk, hi = _brute_pass(
-                PRIM_SPHERE, s_tab, origin, direction, tmin_tile, tm,
-                ht, hk, hi, n_prims=cfg["n_sph"], has_moving=has_moving,
-            )
-        elif cfg["sph_mode"] == TR_TREE:
-            ht, hk, hi = _tree_pass(
-                PRIM_SPHERE, s_box, s_link, s_tab, s_oi,
-                origin, direction, tmin_tile, tm, alive, ht, hk, hi,
-                n_nodes=cfg["sph_nodes"], has_moving=has_moving,
-                leaf_groups=cfg["leaf_groups"],
-            )
-        if cfg["quad_mode"] == TR_BRUTE:
-            ht, hk, hi = _brute_pass(
-                PRIM_QUAD, q_tab, origin, direction, tmin_tile, None,
-                ht, hk, hi, n_prims=cfg["n_quad"], has_moving=False,
-            )
-        elif cfg["quad_mode"] == TR_TREE:
-            ht, hk, hi = _tree_pass(
-                PRIM_QUAD, q_box, q_link, q_tab, q_oi,
-                origin, direction, tmin_tile, None, alive, ht, hk, hi,
-                n_nodes=cfg["quad_nodes"], has_moving=False,
-                leaf_groups=cfg["leaf_groups"],
-            )
-
-        # ---- RNG (same streams as the XLA integrator) ----
-        site = (_BOUNCE_BASE + depth * _SITES_PER_BOUNCE).astype(jnp.uint32)
-        u0, u1, u2, u3 = hashrng.uniform4(seed, rid, site)
-        light_params = cfg["light_params"]
-        if light_params:
-            u4, u5, u6, _ = hashrng.uniform4(seed, rid, site + jnp.uint32(1))
-        gauss = hashrng.gauss3(seed, rid, site + jnp.uint32(2))
-
-        hit_any = hk >= 0
-        hitmask = alive & hit_any
-        missed = alive & jnp.logical_not(hit_any)
-
-        # ---- shade record gather ----
-        is_sphere = hk == PRIM_SPHERE
-        lut_rows = cfg["lut_rows"]
-        uidx = jnp.where(is_sphere, hi, cfg["n_sph"] + hi)
-        uidx = jnp.clip(uidx, 0, lut_rows * LANE - 1)
-        g_row = uidx // LANE
-        g_lane = uidx % LANE
-
-        def col(c):
-            return _lut_column(lut_ref, c, g_row, g_lane, lut_rows)
-
-        # geometry reconstruction (ops/shade.py:_attrs_from_columns)
-        safe_t = jnp.where(ht < _BIG, ht, 0.0)
-        point = origin + direction * safe_t
-
-        center = V3(col(0), col(1), col(2))
-        if has_moving:
-            center = center + V3(col(3), col(4), col(5)) * tm
-        inv_r = col(6)
-        n_sph_v = (point - center) * inv_r
-        q_normal = V3(col(3), col(4), col(5))
-
-        outward = V3.where(is_sphere, n_sph_v, q_normal)
-        front = v3.dot(direction, outward) < 0.0
-        normal = V3.where(front, outward, -outward)
-
-        mat_type = col(_C_MAT).astype(jnp.int32)
-        tex_kind = col(_C_TEXKIND).astype(jnp.int32)
-        rgb = V3(col(_C_RGB), col(_C_RGB + 1), col(_C_RGB + 2))
-        rgb2 = V3(col(_C_RGB2), col(_C_RGB2 + 1), col(_C_RGB2 + 2))
-        inv_scale = col(_C_INVSCALE)
-        fuzz_c = col(_C_FUZZ)
-        refract_c = col(_C_REFRACT)
-
-        background = cfg["background"]
-        radiance = radiance + V3.where(
-            missed,
-            throughput * V3(*(np.float32(b) for b in background)),
-            V3.zeros(shape, real),
+        (new_origin, new_direction, new_throughput, radiance, survives,
+         uvio) = _bounce_core(
+            cfg, trace, lut_ref, seed, depth,
+            origin, direction, tm, rid, throughput, radiance, alive,
         )
-
-        # ---- texture value (solid / checker) ----
-        parity = checker_parity(inv_scale, point)
-        tex_rgb = V3.where((tex_kind == 1) & (parity != 0), rgb2, rgb)
-
-        # ---- emission (src/render.zig:232-240) ----
-        is_emissive = mat_type == MAT_DIFFUSE_LIGHT
-        emits = hitmask & is_emissive & front
-        radiance = V3.where(emits, radiance + throughput * tex_rgb, radiance)
-
-        # ---- metal (src/material.zig:163-178) ----
-        fuzz = jnp.clip(fuzz_c, 0.0, 1.0)
-        reflected = v3.reflect(direction, normal)
-        metal_dir = reflected + hashrng.unit_sphere(gauss) * fuzz
-        metal_ok = v3.dot(metal_dir, normal) > 0.0
-
-        # ---- dielectric (src/material.zig:190-218) ----
-        index = jnp.where(front, 1.0 / refract_c, refract_c)
-        unit_in = v3.normalize(direction)
-        cos_theta = jnp.minimum(v3.dot(-unit_in, normal), 1.0)
-        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
-        must_reflect = (index * sin_theta > 1.0) | (
-            schlick_reflectance(cos_theta, refract_c) > u0
-        )
-        diel_dir = V3.where(
-            must_reflect,
-            v3.reflect(unit_in, normal),
-            v3.refract(unit_in, normal, index),
-        )
-
-        # ---- diffuse sampling ----
-        is_iso = mat_type == MAT_ISOTROPIC
-        basis = v3.ortho_basis(normal)
-        cosine_dir = v3.onb_transform(
-            basis, hashrng.cosine_direction_z(u1, u2)
-        )
-        sphere_dir = hashrng.unit_sphere(gauss)
-        mat_sample_dir = V3.where(is_iso, sphere_dir, cosine_dir)
-
-        if light_params:
-            light_dir = _static_light_sample(light_params, point, u4, u5, u6)
-            use_light = u3 < 0.5
-            diff_dir = V3.where(use_light, light_dir, mat_sample_dir)
-            mat_pdf = scattering_pdf(mat_type, normal, diff_dir)
-            l_pdf = _static_light_pdf(light_params, point, diff_dir)
-            sample_pdf = 0.5 * l_pdf + 0.5 * mat_pdf
-            scatter_pdf = mat_pdf
-        else:
-            diff_dir = mat_sample_dir
-            scatter_pdf = scattering_pdf(mat_type, normal, diff_dir)
-            sample_pdf = scatter_pdf
-
-        # sample_pdf == 0 guard (integrator.py; src/render.zig:255-256)
-        pdf_ok = sample_pdf > 0.0
-        pdf_ratio = jnp.where(
-            pdf_ok, scatter_pdf / jnp.where(pdf_ok, sample_pdf, 1.0), 0.0
-        )
-        is_img = tex_kind == 2
-        if cfg["has_images"]:
-            # atlas color is multiplied in by the integrator afterwards
-            diffuse_tex = V3.where(
-                is_img, V3.full(shape, 1.0, 1.0, 1.0, real), tex_rgb
-            )
-        else:
-            diffuse_tex = tex_rgb
-        diffuse_mult = diffuse_tex * pdf_ratio
-
-        # ---- combine by material type ----
-        is_metal = mat_type == MAT_METAL
-        is_diel = mat_type == MAT_DIELECTRIC
-        is_spec = is_metal | is_diel
-
-        new_dir = V3.where(
-            is_spec, V3.where(is_metal, metal_dir, diel_dir), diff_dir
-        )
-        one = V3.full(shape, 1.0, 1.0, 1.0, real)
-        mult = V3.where(is_metal, rgb, V3.where(is_diel, one, diffuse_mult))
-
-        survives = hitmask & ~is_emissive & ~(is_metal & ~metal_ok)
-        new_throughput = V3.where(survives, throughput * mult, throughput)
-        if cfg["terminate_zero"]:
-            nonzero = (
-                (new_throughput.x != 0.0)
-                | (new_throughput.y != 0.0)
-                | (new_throughput.z != 0.0)
-            )
-            survives = survives & nonzero
         if regen:
             # depth cutoff per path (the while_loop bound of the
             # non-regenerating integrator; reference: src/render.zig:199)
@@ -741,9 +604,6 @@ def _bounce_kernel(
             nsample_ref[0] = sample
             nbounce_ref[0] = bounce_next
             nrid_ref[0] = rid
-
-        new_origin = V3.where(hitmask, point, origin)
-        new_direction = V3.where(hitmask, new_dir, direction)
 
         nox_ref[0] = new_origin.x
         noy_ref[0] = new_origin.y
@@ -758,35 +618,334 @@ def _bounce_kernel(
         nray_ref[0] = radiance.y
         nraz_ref[0] = radiance.z
         nalive_ref[0] = survives.astype(jnp.int32)
+        uo_ref[0], vo_ref[0], io_ref[0] = uvio
 
-        # ---- image-texture info for the XLA fix-up pass ----
-        if cfg["has_images"]:
-            # sphere UVs with the object-space un-rotation (ops/shade.py)
-            c_rot = col(7)
-            s_rot = col(8)
-            n_obj = V3(
-                c_rot * n_sph_v.x - s_rot * n_sph_v.z,
-                n_sph_v.y,
-                s_rot * n_sph_v.x + c_rot * n_sph_v.z,
-            )
-            u_sph, v_sph = _sphere_uv(n_obj)
-            # quad UVs = plane coordinates (alpha, beta)
-            q_w = V3(col(6), col(7), col(8))
-            q_u = V3(col(9), col(10), col(11))
-            q_v = V3(col(12), col(13), col(14))
-            planar = point - V3(col(0), col(1), col(2))
-            alpha = v3.dot(q_w, v3.cross(planar, q_v))
-            beta = v3.dot(q_w, v3.cross(q_u, planar))
-            uo_ref[0] = jnp.where(is_sphere, u_sph, alpha)
-            vo_ref[0] = jnp.where(is_sphere, v_sph, beta)
-            # image id where this bounce applied a neutral albedo, else -1
-            apply_img = hitmask & is_img & ~is_spec & ~is_emissive
-            img_id = col(_C_IMG).astype(jnp.int32)
-            io_ref[0] = jnp.where(apply_img, img_id, -1)
-        else:
-            uo_ref[0] = jnp.zeros(shape, real)
-            vo_ref[0] = jnp.zeros(shape, real)
-            io_ref[0] = jnp.full(shape, -1, jnp.int32)
+
+def _trace_values(cfg, trace, origin, direction, tmin_tile, tm, alive):
+    """Closest hit over the scene tables on in-register values."""
+    shape = origin.shape
+    ht = jnp.full(shape, _BIG, real)
+    hk = jnp.full(shape, -1, jnp.int32)
+    hi = jnp.zeros(shape, jnp.int32)
+    has_moving = cfg["has_moving"]
+    if cfg["sph_mode"] == TR_BRUTE:
+        ht, hk, hi = _brute_pass(
+            PRIM_SPHERE, trace["s_tab"], origin, direction, tmin_tile, tm,
+            ht, hk, hi, n_prims=cfg["n_sph"], has_moving=has_moving,
+        )
+    elif cfg["sph_mode"] == TR_TREE:
+        ht, hk, hi = _tree_pass(
+            PRIM_SPHERE, trace["s_box"], trace["s_link"], trace["s_tab"],
+            trace["s_oi"],
+            origin, direction, tmin_tile, tm, alive, ht, hk, hi,
+            n_nodes=cfg["sph_nodes"], has_moving=has_moving,
+            leaf_groups=cfg["leaf_groups"],
+        )
+    if cfg["quad_mode"] == TR_BRUTE:
+        ht, hk, hi = _brute_pass(
+            PRIM_QUAD, trace["q_tab"], origin, direction, tmin_tile, None,
+            ht, hk, hi, n_prims=cfg["n_quad"], has_moving=False,
+        )
+    elif cfg["quad_mode"] == TR_TREE:
+        ht, hk, hi = _tree_pass(
+            PRIM_QUAD, trace["q_box"], trace["q_link"], trace["q_tab"],
+            trace["q_oi"],
+            origin, direction, tmin_tile, None, alive, ht, hk, hi,
+            n_nodes=cfg["quad_nodes"], has_moving=False,
+            leaf_groups=cfg["leaf_groups"],
+        )
+    return ht, hk, hi
+
+
+def _bounce_core(
+    cfg, trace, lut_ref, seed, depth,
+    origin, direction, tm, rid, throughput, radiance, alive,
+):
+    """One full integrator bounce on in-register values: trace, shade-record
+    gather, RNG, masked materials, light mixture.  Returns
+    (new_origin, new_direction, new_throughput, radiance', survives,
+    (u, v, img)).  Mirrors render/integrator.py:bounce line-for-line
+    (reference semantics: src/render.zig:188-289)."""
+    shape = origin.shape
+    tmin_tile = jnp.full(shape, cfg["t_min"], real)
+
+    # ---- trace ----
+    ht, hk, hi = _trace_values(
+        cfg, trace, origin, direction, tmin_tile, tm, alive
+    )
+
+    # ---- RNG (same streams as the XLA integrator) ----
+    site = (_BOUNCE_BASE + depth * _SITES_PER_BOUNCE).astype(jnp.uint32)
+    u0, u1, u2, u3 = hashrng.uniform4(seed, rid, site)
+    light_params = cfg["light_params"]
+    if light_params:
+        u4, u5, u6, _ = hashrng.uniform4(seed, rid, site + jnp.uint32(1))
+    # The gaussian triple feeds ONLY isotropic scatter and fuzzy metal; when
+    # the scene has neither, skip the Box-Muller transcendentals (safe
+    # because RNG draws are content-addressed per site, never sequential).
+    if cfg["needs_gauss"]:
+        gauss = hashrng.gauss3(seed, rid, site + jnp.uint32(2))
+
+    hit_any = hk >= 0
+    hitmask = alive & hit_any
+    missed = alive & jnp.logical_not(hit_any)
+
+    # ---- shade record gather ----
+    is_sphere = hk == PRIM_SPHERE
+    lut_rows = cfg["lut_rows"]
+    uidx = jnp.where(is_sphere, hi, cfg["n_sph"] + hi)
+    uidx = jnp.clip(uidx, 0, lut_rows * LANE - 1)
+    g_row = uidx // LANE
+    g_lane = uidx % LANE
+
+    def col(c):
+        return _lut_column(lut_ref, c, g_row, g_lane, lut_rows)
+
+    # geometry reconstruction (ops/shade.py:_attrs_from_columns)
+    safe_t = jnp.where(ht < _BIG, ht, 0.0)
+    point = origin + direction * safe_t
+
+    center = V3(col(0), col(1), col(2))
+    if cfg["has_moving"]:
+        center = center + V3(col(3), col(4), col(5)) * tm
+    inv_r = col(6)
+    n_sph_v = (point - center) * inv_r
+    q_normal = V3(col(3), col(4), col(5))
+
+    outward = V3.where(is_sphere, n_sph_v, q_normal)
+    front = v3.dot(direction, outward) < 0.0
+    normal = V3.where(front, outward, -outward)
+
+    mat_type = col(_C_MAT).astype(jnp.int32)
+    tex_kind = col(_C_TEXKIND).astype(jnp.int32)
+    rgb = V3(col(_C_RGB), col(_C_RGB + 1), col(_C_RGB + 2))
+    rgb2 = V3(col(_C_RGB2), col(_C_RGB2 + 1), col(_C_RGB2 + 2))
+    inv_scale = col(_C_INVSCALE)
+    fuzz_c = col(_C_FUZZ)
+    refract_c = col(_C_REFRACT)
+
+    background = cfg["background"]
+    radiance = radiance + V3.where(
+        missed,
+        throughput * V3(*(np.float32(b) for b in background)),
+        V3.zeros(shape, real),
+    )
+
+    # ---- texture value (solid / checker) ----
+    parity = checker_parity(inv_scale, point)
+    tex_rgb = V3.where((tex_kind == 1) & (parity != 0), rgb2, rgb)
+
+    # ---- emission (src/render.zig:232-240) ----
+    is_emissive = mat_type == MAT_DIFFUSE_LIGHT
+    emits = hitmask & is_emissive & front
+    radiance = V3.where(emits, radiance + throughput * tex_rgb, radiance)
+
+    # ---- metal (src/material.zig:163-178) ----
+    reflected = v3.reflect(direction, normal)
+    if cfg["needs_gauss"]:
+        fuzz = jnp.clip(fuzz_c, 0.0, 1.0)
+        metal_dir = reflected + hashrng.unit_sphere(gauss) * fuzz
+    else:
+        metal_dir = reflected
+    metal_ok = v3.dot(metal_dir, normal) > 0.0
+
+    # ---- dielectric (src/material.zig:190-218) ----
+    index = jnp.where(front, 1.0 / refract_c, refract_c)
+    unit_in = v3.normalize(direction)
+    cos_theta = jnp.minimum(v3.dot(-unit_in, normal), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    must_reflect = (index * sin_theta > 1.0) | (
+        schlick_reflectance(cos_theta, refract_c) > u0
+    )
+    diel_dir = V3.where(
+        must_reflect,
+        v3.reflect(unit_in, normal),
+        v3.refract(unit_in, normal, index),
+    )
+
+    # ---- diffuse sampling ----
+    basis = v3.ortho_basis(normal)
+    cosine_dir = v3.onb_transform(
+        basis, hashrng.cosine_direction_z(u1, u2)
+    )
+    if cfg["needs_gauss"]:
+        is_iso = mat_type == MAT_ISOTROPIC
+        sphere_dir = hashrng.unit_sphere(gauss)
+        mat_sample_dir = V3.where(is_iso, sphere_dir, cosine_dir)
+    else:
+        mat_sample_dir = cosine_dir
+
+    if light_params:
+        light_dir = _static_light_sample(light_params, point, u4, u5, u6)
+        use_light = u3 < 0.5
+        diff_dir = V3.where(use_light, light_dir, mat_sample_dir)
+        mat_pdf = scattering_pdf(mat_type, normal, diff_dir)
+        l_pdf = _static_light_pdf(light_params, point, diff_dir)
+        sample_pdf = 0.5 * l_pdf + 0.5 * mat_pdf
+        scatter_pdf = mat_pdf
+    else:
+        diff_dir = mat_sample_dir
+        scatter_pdf = scattering_pdf(mat_type, normal, diff_dir)
+        sample_pdf = scatter_pdf
+
+    # sample_pdf == 0 guard (integrator.py; src/render.zig:255-256)
+    pdf_ok = sample_pdf > 0.0
+    pdf_ratio = jnp.where(
+        pdf_ok, scatter_pdf / jnp.where(pdf_ok, sample_pdf, 1.0), 0.0
+    )
+    is_img = tex_kind == 2
+    if cfg["has_images"]:
+        # atlas color is multiplied in by the integrator afterwards
+        diffuse_tex = V3.where(
+            is_img, V3.full(shape, 1.0, 1.0, 1.0, real), tex_rgb
+        )
+    else:
+        diffuse_tex = tex_rgb
+    diffuse_mult = diffuse_tex * pdf_ratio
+
+    # ---- combine by material type ----
+    is_metal = mat_type == MAT_METAL
+    is_diel = mat_type == MAT_DIELECTRIC
+    is_spec = is_metal | is_diel
+
+    new_dir = V3.where(
+        is_spec, V3.where(is_metal, metal_dir, diel_dir), diff_dir
+    )
+    one = V3.full(shape, 1.0, 1.0, 1.0, real)
+    mult = V3.where(is_metal, rgb, V3.where(is_diel, one, diffuse_mult))
+
+    survives = hitmask & ~is_emissive & ~(is_metal & ~metal_ok)
+    new_throughput = V3.where(survives, throughput * mult, throughput)
+    if cfg["terminate_zero"]:
+        nonzero = (
+            (new_throughput.x != 0.0)
+            | (new_throughput.y != 0.0)
+            | (new_throughput.z != 0.0)
+        )
+        survives = survives & nonzero
+
+    new_origin = V3.where(hitmask, point, origin)
+    new_direction = V3.where(hitmask, new_dir, direction)
+
+    # ---- image-texture info for the XLA fix-up pass ----
+    if cfg["has_images"]:
+        # sphere UVs with the object-space un-rotation (ops/shade.py)
+        c_rot = col(7)
+        s_rot = col(8)
+        n_obj = V3(
+            c_rot * n_sph_v.x - s_rot * n_sph_v.z,
+            n_sph_v.y,
+            s_rot * n_sph_v.x + c_rot * n_sph_v.z,
+        )
+        u_sph, v_sph = _sphere_uv(n_obj)
+        # quad UVs = plane coordinates (alpha, beta)
+        q_w = V3(col(6), col(7), col(8))
+        q_u = V3(col(9), col(10), col(11))
+        q_v = V3(col(12), col(13), col(14))
+        planar = point - V3(col(0), col(1), col(2))
+        alpha = v3.dot(q_w, v3.cross(planar, q_v))
+        beta = v3.dot(q_w, v3.cross(q_u, planar))
+        uo = jnp.where(is_sphere, u_sph, alpha)
+        vo = jnp.where(is_sphere, v_sph, beta)
+        # image id where this bounce applied a neutral albedo, else -1
+        apply_img = hitmask & is_img & ~is_spec & ~is_emissive
+        img_id = col(_C_IMG).astype(jnp.int32)
+        io = jnp.where(apply_img, img_id, -1)
+    else:
+        uo = jnp.zeros(shape, real)
+        vo = jnp.zeros(shape, real)
+        io = jnp.full(shape, -1, jnp.int32)
+
+    return new_origin, new_direction, new_throughput, radiance, survives, (
+        uo, vo, io
+    )
+
+
+def _fused_render_kernel(seed_ref, *refs, cfg):
+    """Whole-render megakernel: each ray tile drains its ENTIRE
+    (pixel, sample-range) work list in one in-kernel ``while_loop`` over
+    bounces — path state lives in registers/VMEM for the whole render, the
+    scene tables are fetched once per tile, and no tile ever waits on
+    another (the TPU analog of the reference's per-thread pixel-block queue,
+    src/render.zig:55-73, and the production form of the regenerating
+    wavefront).  Inputs per tile: pixel coords + per-lane sample window;
+    outputs: radiance sums (+ work counts when profiling costs)."""
+    regen = cfg["regen"]
+    it = iter(range(len(refs)))
+    nxt = lambda: refs[next(it)]
+    px_ref, py_ref, s0_ref, limit_ref = (nxt() for _ in range(4))
+    lut_ref = nxt()
+    trace = _unpack_trace_refs(cfg, nxt)
+    rax_ref, ray_ref, raz_ref = (nxt() for _ in range(3))
+    nwork_ref = nxt() if regen["work"] else None
+
+    shape = (ROWS, LANE)
+    seed = seed_ref[0, 0]
+    pxv = px_ref[0]
+    pyv = py_ref[0]
+    limit = limit_ref[0]
+    stride = regen["stride"]
+
+    init = (
+        jnp.zeros(shape, real), jnp.zeros(shape, real),   # origin xy
+        jnp.zeros(shape, real),                           # origin z
+        jnp.zeros(shape, real), jnp.zeros(shape, real),   # dir xy
+        jnp.ones(shape, real),                            # dir z
+        jnp.zeros(shape, real),                           # time
+        jnp.zeros(shape, jnp.uint32),                     # ray id
+        jnp.ones(shape, real), jnp.ones(shape, real),     # throughput
+        jnp.ones(shape, real),
+        jnp.zeros(shape, real), jnp.zeros(shape, real),   # radiance
+        jnp.zeros(shape, real),
+        jnp.zeros(shape, jnp.int32),                      # alive (i32 mask)
+        s0_ref[0] - stride,                               # sample (pre-first)
+        jnp.zeros(shape, jnp.int32),                      # bounce
+        jnp.zeros(shape, jnp.int32),                      # work
+    )
+
+    def cond(c):
+        alive_i, sample = c[14], c[15]
+        return jnp.any((alive_i > 0) | (sample + stride < limit))
+
+    def body(c):
+        (ox, oy, oz, dx, dy, dz, tm, rid, thx, thy, thz,
+         rax, ray_, raz, alive_i, sample, bounce_ct, work) = c
+        origin = V3(ox, oy, oz)
+        direction = V3(dx, dy, dz)
+        throughput = V3(thx, thy, thz)
+        radiance = V3(rax, ray_, raz)
+        alive = alive_i > 0
+
+        (origin, direction, tm, rid, throughput, sample, bounce_ct,
+         alive) = _respawn_values(
+            cfg, seed, pxv, pyv, limit,
+            origin, direction, tm, rid, throughput, sample, bounce_ct,
+            alive,
+        )
+        work = work + alive.astype(jnp.int32)
+
+        (new_origin, new_direction, new_throughput, radiance, survives,
+         _uvio) = _bounce_core(
+            cfg, trace, lut_ref, seed, bounce_ct,
+            origin, direction, tm, rid, throughput, radiance, alive,
+        )
+        bounce_next = bounce_ct + 1
+        survives = survives & (bounce_next < regen["max_depth"])
+        return (
+            new_origin.x, new_origin.y, new_origin.z,
+            new_direction.x, new_direction.y, new_direction.z,
+            tm, rid,
+            new_throughput.x, new_throughput.y, new_throughput.z,
+            radiance.x, radiance.y, radiance.z,
+            survives.astype(jnp.int32), sample, bounce_next, work,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    rax_ref[0] = final[11]
+    ray_ref[0] = final[12]
+    raz_ref[0] = final[13]
+    if regen["work"]:
+        nwork_ref[0] = final[17]
 
 
 # ---------------------------------------------------------------------------
@@ -798,6 +957,13 @@ def supports_bounce_kernel(scene: CompiledScene) -> bool:
     EMISSIVE materials (atlas emission would need in-kernel atlas access);
     those scenes use the XLA integrator (no reference scene has one)."""
     return not scene.has_emissive_image
+
+
+def supports_fused_render(scene: CompiledScene) -> bool:
+    """The whole-render megakernel needs everything in-kernel; image
+    textures are applied by an XLA atlas pass BETWEEN bounce kernels, so
+    image scenes use the per-bounce kernel instead."""
+    return not scene.has_image_textures and not scene.has_emissive_image
 
 
 def _freeze(d):
@@ -906,6 +1072,7 @@ def _base_cfg(scene: CompiledScene, t_min, terminate_zero):
         "leaf_groups": _leaf_groups(),
         "sph_nodes": scene.sph_tree_box.shape[0],
         "quad_nodes": scene.quad_tree_box.shape[0],
+        "needs_gauss": scene.needs_gauss,
         "regen": None,
     }
 
@@ -922,6 +1089,8 @@ def _call_kernel(scene, cfg, ins, in_specs, g, n_outs):
             jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32),   # bounce
             jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.uint32),  # ray id
         ]
+        if cfg["regen"]["work"]:
+            out_shape += [jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32)]
     out_shape += [
         jax.ShapeDtypeStruct((g, ROWS, LANE), real),
         jax.ShapeDtypeStruct((g, ROWS, LANE), real),
@@ -1007,19 +1176,25 @@ def bounce_pallas_regen(
     scene: CompiledScene,
     origin: V3, direction: V3, time, ray_id,
     throughput: V3, radiance: V3, alive,
-    px, py, sample, bounce,
+    px, py, sample, bounce, sample_limit,
     seed, t_min, *,
-    camera_consts, sampler, width, height, spp, stride, sample_limit,
+    camera_consts, sampler, width, height, spp, stride,
     max_depth, has_dof,
     terminate_zero: bool = True,
+    work=None,
 ):
     """One regenerating bounce: dead lanes respawn their pixel's next sample
     (camera ray generated in-kernel) before tracing.  All array args must
     already be BLK multiples (the regen driver keeps the whole wavefront
-    padded).  Returns the full updated state tuple."""
+    padded).  ``sample_limit`` is PER-LANE (i32): the first sample index a
+    lane will not render — the profile-guided balancer splits a pixel's
+    samples across lanes via disjoint [first, limit) ranges.  Pass ``work``
+    (per-lane i32) to additionally count the calls in which each lane traced
+    (the balancer's cost signal).  Returns the full updated state tuple."""
     n = origin.shape[0]
     assert n % BLK == 0, "regen wavefronts are pre-padded"
     g = n // BLK
+    want_work = work is not None
 
     def tile(x):
         return x.reshape(g, ROWS, LANE)
@@ -1033,12 +1208,15 @@ def bounce_pallas_regen(
         tile(throughput.x), tile(throughput.y), tile(throughput.z),
         tile(radiance.x), tile(radiance.y), tile(radiance.z),
         tile(alive.astype(jnp.int32)),
-        tile(px), tile(py), tile(sample), tile(bounce),
-        scene.shade_lut,
+        tile(px), tile(py), tile(sample), tile(bounce), tile(sample_limit),
     ]
+    if want_work:
+        ins.append(tile(work))
+    ins.append(scene.shade_lut)
+    n_tiles = 20 + (1 if want_work else 0)
     in_specs = (
         [_smem_spec((1, 1)), _smem_spec((1, 1))]
-        + [_tile_spec()] * 19
+        + [_tile_spec()] * n_tiles
         + [_const_spec(scene.shade_lut.shape)]
     )
     cfg = _base_cfg(scene, t_min, terminate_zero)
@@ -1049,26 +1227,106 @@ def bounce_pallas_regen(
         "height": height,
         "spp": spp,
         "stride": stride,
-        "sample_limit": sample_limit,
         "max_depth": max_depth,
         "has_dof": has_dof,
+        "work": want_work,
     }
     _scene_trace_inputs(scene, cfg, ins, in_specs)
 
-    outs = _call_kernel(scene, cfg, ins, in_specs, g, 20)
+    outs = _call_kernel(
+        scene, cfg, ins, in_specs, g, 20 + (1 if want_work else 0)
+    )
 
     def u(x):
         return x.reshape(n)
 
     (nox, noy, noz, ndx, ndy, ndz, nthx, nthy, nthz,
-     nrax, nray, nraz, nalive, ntime, nsample, nbounce, nrid,
-     uo, vo, io) = outs
+     nrax, nray, nraz, nalive, ntime, nsample, nbounce, nrid) = outs[:17]
+    nwork = u(outs[17]) if want_work else None
+    uo, vo, io = outs[-3:]
     return (
         V3(u(nox), u(noy), u(noz)),
         V3(u(ndx), u(ndy), u(ndz)),
         V3(u(nthx), u(nthy), u(nthz)),
         V3(u(nrax), u(nray), u(nraz)),
         u(nalive) > 0,
-        u(ntime), u(nsample), u(nbounce), u(nrid),
+        u(ntime), u(nsample), u(nbounce), u(nrid), nwork,
         (u(uo), u(vo), u(io)),
     )
+
+
+def render_fused(
+    scene: CompiledScene,
+    px, py, s0, s1,
+    seed, t_min, *,
+    camera_consts, sampler, width, height, spp, stride,
+    max_depth, has_dof,
+    terminate_zero: bool = True,
+    want_work: bool = False,
+):
+    """Whole-render megakernel driver: ONE pallas_call renders every
+    (pixel, sample) work item — each ray tile loops over bounces in-kernel
+    until its per-lane sample windows [s0, s1) are exhausted.  Compared to
+    the per-bounce kernel inside an XLA while_loop this removes (a) the
+    global bounce synchronization (no tile ever waits for a straggler tile),
+    (b) the per-bounce HBM round-trip of ~20 state arrays, and (c) the
+    per-bounce re-fetch of the scene tables.  Array args must be BLK
+    multiples.  Returns the per-lane radiance sums as V3 (+ per-lane traced
+    call counts when ``want_work``)."""
+    assert supports_fused_render(scene), "image scenes use the bounce kernel"
+    n = px.shape[0]
+    assert n % BLK == 0, "fused wavefronts are pre-padded"
+    g = n // BLK
+
+    def tile(x):
+        return x.reshape(g, ROWS, LANE)
+
+    ins = [
+        jnp.asarray(seed, jnp.uint32).reshape(1, 1),
+        tile(px), tile(py), tile(s0), tile(s1),
+        scene.shade_lut,
+    ]
+    in_specs = (
+        [_smem_spec((1, 1))]
+        + [_tile_spec()] * 4
+        + [_const_spec(scene.shade_lut.shape)]
+    )
+    cfg = _base_cfg(scene, t_min, terminate_zero)
+    cfg["regen"] = {
+        "camera": camera_consts,
+        "sampler": sampler,
+        "width": width,
+        "height": height,
+        "spp": spp,
+        "stride": stride,
+        "max_depth": max_depth,
+        "has_dof": has_dof,
+        "work": want_work,
+    }
+    _scene_trace_inputs(scene, cfg, ins, in_specs)
+
+    n_outs = 3 + (1 if want_work else 0)
+    out_shape = [jax.ShapeDtypeStruct((g, ROWS, LANE), real)] * 3
+    if want_work:
+        out_shape.append(jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32))
+    outs = pl.pallas_call(
+        functools.partial(_fused_render_kernel, cfg=cfg),
+        grid_spec=pl.GridSpec(
+            grid=(g,),
+            in_specs=in_specs,
+            out_specs=[_tile_spec()] * n_outs,
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_interpret(),
+    )(*ins)
+
+    def u(x):
+        return x.reshape(n)
+
+    radiance = V3(u(outs[0]), u(outs[1]), u(outs[2]))
+    if want_work:
+        return radiance, u(outs[3])
+    return radiance

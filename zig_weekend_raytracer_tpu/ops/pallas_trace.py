@@ -67,6 +67,12 @@ def _leaf_groups() -> int:
     return int(os.environ.get("ZWRT_LEAF_GROUPS", "4"))
 
 
+def _vmem_params():
+    """Big scenes spill past the default 16M scoped-vmem budget; v5e has
+    headroom above it (the bounce megakernel uses the same limit)."""
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _prim_block(n_prims: int) -> int:
     """Primitives per grid step: small tables shrink the block so tiny
     scenes don't burn cycles on padding groups."""
@@ -528,6 +534,7 @@ def _sphere_brute_stage(alive_tiles, tiles, sph, *, has_moving, n_spheres):
             out_specs=[_ray_spec()] * 3,
         ),
         out_shape=_out_shapes(g),
+        compiler_params=_vmem_params(),
         interpret=_interpret(),
     )(alive_tiles, *tiles, *sph_tiles)
 
@@ -555,6 +562,7 @@ def _quad_brute_stage(alive_tiles, tiles, seed, quad, *, n_quads):
             out_specs=[_ray_spec()] * 3,
         ),
         out_shape=_out_shapes(g),
+        compiler_params=_vmem_params(),
         interpret=_interpret(),
     )(alive_tiles, *ray_in, *seed, *quad_tiles)
 
@@ -596,6 +604,7 @@ def _tree_stage(
             out_specs=[_ray_spec()] * 3,
         ),
         out_shape=_out_shapes(g),
+        compiler_params=_vmem_params(),
         interpret=_interpret(),
     )(box, link, alive_tiles, *tiles, *seed_in, *attr_tiles)
 

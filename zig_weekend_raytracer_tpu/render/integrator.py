@@ -83,6 +83,8 @@ class RegenState(NamedTuple):
     ray_id: jnp.ndarray
     sample: jnp.ndarray   # (N,) i32 current sample index per slot
     bounce: jnp.ndarray   # (N,) i32 per-path bounce counter
+    work: jnp.ndarray     # (N,) i32 traced-call counter (None-like zeros
+                          # unless cost measurement is requested)
 
 
 def trace_paths_regen(
@@ -92,27 +94,49 @@ def trace_paths_regen(
     px: jnp.ndarray,        # (N,) i32 per-slot pixel column (BLK multiple)
     py: jnp.ndarray,        # (N,) i32 per-slot pixel row
     first_sample: jnp.ndarray,  # (N,) i32 per-slot first sample index
+    sample_limit: jnp.ndarray,  # (N,) i32 per-slot first sample NOT rendered
     *,
     sampler,
     width: int,
     height: int,
     spp: int,
     stride: int,
-    sample_limit: int,
     max_depth: int,
     has_dof: bool,
     terminate_zero_throughput: bool = True,
-) -> V3:
+    want_work: bool = False,
+):
     """Regenerating wavefront: each slot owns one pixel and sequentially
     path-traces samples ``first_sample, first_sample + stride, ...`` below
-    ``sample_limit``; a lane whose path terminates respawns its next sample
-    IN the bounce kernel, so lane utilization stays ~100% instead of
+    its ``sample_limit``; a lane whose path terminates respawns its next
+    sample IN the bounce kernel, so lane utilization stays ~100% instead of
     decaying with the alive fraction (the production form of the wavefront
     design; the reference instead gives each CPU thread a pixel-block queue,
     src/render.zig:55-73).  Returns the per-slot radiance SUM over its
-    samples; the content-addressed RNG keeps results bit-identical to the
-    non-regenerating integrator."""
-    from ..ops.pallas_bounce import bounce_pallas_regen
+    samples (plus the per-slot traced-call count when ``want_work`` — the
+    profile-guided balancer's cost signal); the content-addressed RNG keeps
+    results bit-identical to the non-regenerating integrator.
+
+    Dispatch: scenes without image textures run as ONE whole-render
+    megakernel (ops/pallas_bounce.py:render_fused — each tile loops over
+    bounces in-kernel, no global synchronization); image scenes run the
+    per-bounce kernel under a ``lax.while_loop`` with the XLA atlas fix-up
+    between bounces."""
+    from ..ops.pallas_bounce import (
+        bounce_pallas_regen,
+        render_fused,
+        supports_fused_render,
+    )
+
+    if supports_fused_render(scene):
+        return render_fused(
+            scene, px, py, first_sample, sample_limit, seed, T_MIN,
+            camera_consts=camera_consts, sampler=sampler,
+            width=width, height=height, spp=spp, stride=stride,
+            max_depth=max_depth, has_dof=has_dof,
+            terminate_zero=terminate_zero_throughput,
+            want_work=want_work,
+        )
 
     n = px.shape[0]
     state = RegenState(
@@ -125,6 +149,7 @@ def trace_paths_regen(
         ray_id=jnp.zeros((n,), jnp.uint32),
         sample=first_sample - stride,  # pre-first: bounce 0 respawns it
         bounce=jnp.zeros((n,), jnp.int32),
+        work=jnp.zeros((n,), jnp.int32),
     )
 
     def cond(st: RegenState):
@@ -132,16 +157,16 @@ def trace_paths_regen(
 
     def body(st: RegenState):
         origin, direction, throughput, radiance, alive, time, sample, \
-            bounce, ray_id, (u, v, io) = bounce_pallas_regen(
+            bounce, ray_id, work, (u, v, io) = bounce_pallas_regen(
                 scene, st.origin, st.direction, st.time, st.ray_id,
                 st.throughput, st.radiance, st.alive,
-                px, py, st.sample, st.bounce,
+                px, py, st.sample, st.bounce, sample_limit,
                 seed, T_MIN,
                 camera_consts=camera_consts, sampler=sampler,
                 width=width, height=height, spp=spp, stride=stride,
-                sample_limit=sample_limit, max_depth=max_depth,
-                has_dof=has_dof,
+                max_depth=max_depth, has_dof=has_dof,
                 terminate_zero=terminate_zero_throughput,
+                work=st.work if want_work else None,
             )
         if scene.has_image_textures:
             img_rgb = atlas_lookup(scene, jnp.maximum(io, 0), u, v)
@@ -150,9 +175,12 @@ def trace_paths_regen(
             origin=origin, direction=direction, time=time,
             throughput=throughput, radiance=radiance, alive=alive,
             ray_id=ray_id, sample=sample, bounce=bounce,
+            work=work if want_work else st.work,
         )
 
     final = jax.lax.while_loop(cond, body, state)
+    if want_work:
+        return final.radiance, final.work
     return final.radiance
 
 
@@ -255,7 +283,10 @@ def trace_paths(
         u0, u1, u2, u3 = hashrng.uniform4(seed, ray_id, site)
         if scene.has_lights:
             u4, u5, u6, _ = hashrng.uniform4(seed, ray_id, site + 1)
-        gauss = hashrng.gauss3(seed, ray_id, site + 2)
+        if scene.needs_gauss:
+            # feeds only isotropic/fuzzy-metal; content-addressed draws make
+            # skipping it bitwise-safe for scenes with neither
+            gauss = hashrng.gauss3(seed, ray_id, site + 2)
 
         with named_zone("rayColor"):
             hit = closest_hit(
@@ -295,9 +326,12 @@ def trace_paths(
         )
 
         # ---- metal (src/material.zig:163-178) ----
-        fuzz = jnp.clip(det.fuzz, 0.0, 1.0)
         reflected = v3.reflect(st.direction, det.normal)
-        metal_dir = reflected + hashrng.unit_sphere(gauss) * fuzz
+        if scene.needs_gauss:
+            fuzz = jnp.clip(det.fuzz, 0.0, 1.0)
+            metal_dir = reflected + hashrng.unit_sphere(gauss) * fuzz
+        else:
+            metal_dir = reflected
         metal_ok = v3.dot(metal_dir, det.normal) > 0.0
 
         # ---- dielectric (src/material.zig:190-218) ----
@@ -316,11 +350,15 @@ def trace_paths(
         )
 
         # ---- diffuse sampling (lambertian cosine / isotropic sphere) ----
-        is_iso = mat_type == MAT_ISOTROPIC
         basis = v3.ortho_basis(det.normal)
         cosine_dir = v3.onb_transform(basis, hashrng.cosine_direction_z(u1, u2))
-        sphere_dir = hashrng.unit_sphere(gauss)  # disjoint from metal by type
-        mat_sample_dir = V3.where(is_iso, sphere_dir, cosine_dir)
+        if scene.needs_gauss:
+            is_iso = mat_type == MAT_ISOTROPIC
+            # disjoint from metal by type
+            sphere_dir = hashrng.unit_sphere(gauss)
+            mat_sample_dir = V3.where(is_iso, sphere_dir, cosine_dir)
+        else:
+            mat_sample_dir = cosine_dir
 
         if scene.has_lights:
             # MixturePdf: 50/50 generator choice + averaged value

@@ -19,6 +19,8 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -161,7 +163,7 @@ def _render_band(
     jax.jit,
     static_argnames=(
         "width", "height", "band_rows", "s_par", "spp", "sample_limit",
-        "max_depth", "sampler", "has_dof", "cam_consts",
+        "max_depth", "sampler", "has_dof", "cam_consts", "want_work",
     ),
 )
 def _render_band_regen(
@@ -180,11 +182,14 @@ def _render_band_regen(
     sampler: SamplerKind,
     has_dof: bool,
     cam_consts,             # static float tuple (camera_consts)
-) -> jnp.ndarray:
+    want_work: bool = False,
+):
     """Regenerating-wavefront band render (Pallas bounce-kernel path): each
     of band_rows*width*s_par slots sequentially traces its pixel's samples
     {sample0 + k + j*s_par} < sample_limit, respawning in-kernel.  Returns
-    the radiance sum over those samples, (band_rows, width, 3)."""
+    the radiance sum over those samples, (band_rows, width, 3) — plus the
+    per-lane traced-call counts (lane order) when ``want_work``, the cost
+    signal for the profile-guided balancer."""
     with named_zone("Renderer::render"):
         tile = pick_tile(width, band_rows)
         px, py, sidx, _ = ray_grid(
@@ -194,23 +199,141 @@ def _render_band_regen(
         from ..ops.pallas_trace import BLK
 
         n_pad = -(-n // BLK) * BLK
+        limit = jnp.full((n,), sample_limit, jnp.int32)
         if n_pad != n:
-            # padding slots start beyond the limit -> never respawn
+            # padding slots get limit 0 -> never respawn
             px = jnp.concatenate([px, jnp.zeros((n_pad - n,), px.dtype)])
             py = jnp.concatenate([py, jnp.zeros((n_pad - n,), py.dtype)])
             sidx = jnp.concatenate(
-                [sidx, jnp.full((n_pad - n,), sample_limit, sidx.dtype)]
+                [sidx, jnp.zeros((n_pad - n,), sidx.dtype)]
             )
-        radiance = trace_paths_regen(
-            scene, cam_consts, seed, px, py, sidx,
+            limit = jnp.concatenate(
+                [limit, jnp.zeros((n_pad - n,), limit.dtype)]
+            )
+        out = trace_paths_regen(
+            scene, cam_consts, seed, px, py, sidx, limit,
             sampler=sampler, width=width, height=height, spp=spp,
-            stride=s_par, sample_limit=sample_limit, max_depth=max_depth,
-            has_dof=has_dof,
+            stride=s_par, max_depth=max_depth,
+            has_dof=has_dof, want_work=want_work,
         )
+        radiance = out[0] if want_work else out
         rad = radiance.to_array()[:n]
-        return unflatten_radiance(rad, width, band_rows, s_par, tile).sum(
+        fb = unflatten_radiance(rad, width, band_rows, s_par, tile).sum(
             axis=0
         )
+        if want_work:
+            return fb, out[1][:n]
+        return fb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "band_rows", "spp", "max_depth", "sampler",
+        "has_dof", "cam_consts",
+    ),
+)
+def _render_band_balanced(
+    scene: CompiledScene,
+    seed: jnp.ndarray,      # u32 scalar
+    band_y0: jnp.ndarray,   # scalar i32
+    px: jnp.ndarray,        # (M,) i32 per-lane pixel column (BLK multiple)
+    py: jnp.ndarray,        # (M,) i32 per-lane pixel row
+    s0: jnp.ndarray,        # (M,) i32 per-lane first sample
+    s1: jnp.ndarray,        # (M,) i32 per-lane sample limit (s1 <= s0: dead)
+    *,
+    width: int,
+    height: int,
+    band_rows: int,
+    spp: int,
+    max_depth: int,
+    sampler: SamplerKind,
+    has_dof: bool,
+    cam_consts,
+) -> jnp.ndarray:
+    """Balanced-plan band render: lanes carry explicit (pixel, sample-range)
+    work items produced by ``build_balance_plan``; per-lane radiance sums are
+    scatter-added into the band framebuffer (each (pixel, sample) pair is
+    owned by exactly one lane, so there are no races by construction —
+    the balanced analog of the reference's disjoint pixel blocks,
+    src/render.zig:55-73)."""
+    with named_zone("Renderer::render"):
+        radiance = trace_paths_regen(
+            scene, cam_consts, seed, px, py, s0, s1,
+            sampler=sampler, width=width, height=height, spp=spp,
+            stride=1, max_depth=max_depth, has_dof=has_dof,
+        )
+        pixflat = (py - band_y0) * width + px
+        fb = jnp.zeros((band_rows * width, 3), real)
+        fb = fb.at[pixflat].add(radiance.to_array())
+        return fb.reshape(band_rows, width, 3)
+
+
+def tile_order_lane_index(width, band_rows, tile):
+    """(band_rows, width) array of each pixel's lane index in the tiled
+    ray_grid order (s_par=1), accounting for tile padding."""
+    if tile is None:
+        return np.arange(band_rows * width).reshape(band_rows, width)
+    nbx = -(-width // tile)
+    y = np.arange(band_rows)[:, None]
+    x = np.arange(width)[None, :]
+    by, iy = y // tile, y % tile
+    bx, ix = x // tile, x % tile
+    return (((by * nbx + bx) * tile + iy) * tile) + ix
+
+
+def build_balance_plan(
+    work_px: np.ndarray,   # (rows, width) per-pixel cost from the est pass
+    band_y0: int,
+    spp_est: int,
+    spp: int,
+    budget_lanes: int,     # M: total lanes (BLK multiple)
+    tile,
+):
+    """Profile-guided lane plan: split each pixel's remaining samples
+    [spp_est, spp) across ~cost-proportional lane counts so every lane
+    carries roughly equal predicted work (cost x samples).  Pixels are
+    emitted in tile-traversal order (lanes of one pixel adjacent), so trace
+    tiles keep tight spatial frusta.  Returns (px, py, s0, s1) i32 arrays of
+    length ``budget_lanes``; surplus lanes are dead (s1 == s0 == 0)."""
+    rows, width = work_px.shape
+    lane_idx = tile_order_lane_index(width, rows, tile).reshape(-1)
+    order = np.argsort(lane_idx, kind="stable")  # pixels in tile order
+
+    cost = np.maximum(work_px.reshape(-1).astype(np.float64), 1.0)[order]
+    ys = (np.repeat(np.arange(rows), width) + band_y0)[order]
+    xs = np.tile(np.arange(width), rows)[order]
+
+    n_pix = cost.size
+    r = spp - spp_est
+    extra = max(0, budget_lanes - n_pix)
+    share = extra * cost / cost.sum()
+    k = 1 + np.floor(share).astype(np.int64)
+    rem = budget_lanes - int(k.sum())
+    if rem > 0:
+        frac_order = np.argsort(-(share - np.floor(share)), kind="stable")
+        k[frac_order[:rem]] += 1
+    k = np.minimum(k, max(r, 1))  # never more lanes than samples
+
+    total = int(k.sum())
+    px = np.repeat(xs, k)
+    py = np.repeat(ys, k)
+    starts = np.cumsum(k) - k
+    j = np.arange(total) - np.repeat(starts, k)
+    kk = np.repeat(k, k)
+    s0 = spp_est + (j * r) // kk
+    s1 = spp_est + ((j + 1) * r) // kk
+
+    pad = budget_lanes - total
+    if pad:
+        px = np.concatenate([px, np.zeros(pad, np.int64)])
+        py = np.concatenate([py, np.full(pad, band_y0, np.int64)])
+        s0 = np.concatenate([s0, np.zeros(pad, np.int64)])
+        s1 = np.concatenate([s1, np.zeros(pad, np.int64)])
+    return (
+        px.astype(np.int32), py.astype(np.int32),
+        s0.astype(np.int32), s1.astype(np.int32),
+    )
 
 
 @dataclasses.dataclass
@@ -253,6 +376,32 @@ class Renderer:
     # amortize the straggler tail of long paths — measured 82 vs 43 Mpaths/s
     # on cornell 400x400@128spp for s_par 1 vs 13).
     regen_min_wave: int = 1 << 17
+    # Profile-guided load balancing (regen path, s_par == 1): a cheap
+    # estimation pass (spp/16 samples, which still contribute to the image)
+    # measures per-pixel path cost; the remaining samples are then split
+    # across cost-proportional lane counts so expensive pixels don't drag
+    # their whole ray tile (pixel path lengths vary ~5x across an image).
+    # The fused megakernel already removes CROSS-tile waiting (each ray tile
+    # drains its work list independently in-kernel), which measured FASTER
+    # than two-pass balancing at every tested scale (e.g. cornell
+    # 400x400@1024spp: 1.02 s fused vs 1.58 s balanced — the cost-map fetch
+    # + plan build cost ~100 ms on the tunneled backend and splitting only
+    # shrinks INTRA-tile idle).  Balancing therefore defaults OFF
+    # (balance_min_spp = 0); it remains available for workloads with
+    # extreme per-pixel cost skew.  ZWRT_NO_BALANCE=1 force-disables.
+    balance_min_spp: int = 0
+    balance_overprovision: float = 1.3
+    # Temporal cost-map reuse (brute-trace scenes): the first render of a
+    # given (scene, size, spp) measures per-pixel path cost as a free kernel
+    # side-output; subsequent renders pack similar-cost pixels into the same
+    # ray tile (a pure pixel permutation — the content-addressed RNG makes
+    # the image invariant to it), cutting the intra-tile straggler idle.
+    # Only applied to scenes WITHOUT group trees: tree traversal needs
+    # spatially tight tile frusta, which cost-sorting destroys.
+    # ZWRT_NO_SORT=1 disables.
+    _plan_cache: dict = dataclasses.field(
+        default_factory=dict, repr=False, compare=False
+    )
 
     def regen_geometry(self, width: int, height: int, spp: int):
         """(s_par, band_rows) for the regenerating wavefront: just enough
@@ -264,6 +413,106 @@ class Renderer:
             1, min(height, self.max_rays_per_chunk // (width * s_par))
         )
         return s_par, band_rows
+
+    def _render_band_balanced_driver(
+        self, scene: Scene, seed, band_y0: int, rows_eff: int,
+        band_rows: int, width: int, height: int, spp: int, has_dof, cam_c,
+    ) -> jnp.ndarray:
+        """Two-pass profile-guided band render: estimation pass (first
+        spp_est samples; its radiance counts toward the image) measures
+        per-pixel cost, then the balanced plan renders the rest."""
+        spp_est = max(2, spp // 16)
+        tile = pick_tile(width, band_rows)
+        fb_est, work = _render_band_regen(
+            scene.compiled, seed, jnp.int32(band_y0), jnp.int32(0),
+            width=width, height=height, band_rows=band_rows, s_par=1,
+            spp=spp, sample_limit=spp_est,
+            max_depth=self.max_ray_bounce_depth,
+            sampler=self.sampler, has_dof=has_dof, cam_consts=cam_c,
+            want_work=True,
+        )
+        lane_idx = tile_order_lane_index(width, band_rows, tile)
+        work_px = np.asarray(work)[lane_idx.reshape(-1)].reshape(
+            band_rows, width
+        )[:rows_eff]
+        from ..ops.pallas_trace import BLK
+
+        budget = int(self.balance_overprovision * band_rows * width)
+        budget = -(-budget // BLK) * BLK
+        px, py, s0, s1 = build_balance_plan(
+            work_px, band_y0, spp_est, spp, budget, tile
+        )
+        out = _render_band_balanced(
+            scene.compiled, seed, jnp.int32(band_y0),
+            jnp.asarray(px), jnp.asarray(py),
+            jnp.asarray(s0), jnp.asarray(s1),
+            width=width, height=height, band_rows=band_rows, spp=spp,
+            max_depth=self.max_ray_bounce_depth, sampler=self.sampler,
+            has_dof=has_dof, cam_consts=cam_c,
+        )
+        return fb_est + out
+
+    def _render_band_sorted_driver(
+        self, scene: Scene, seed, band_y0: int, rows_eff: int,
+        band_rows: int, width: int, height: int, spp: int, has_dof, cam_c,
+    ) -> jnp.ndarray:
+        """Cost-sorted tile packing with temporal reuse: the FIRST render of
+        this (scene, size, config) runs the plain fused kernel with the
+        per-lane work counter as a free side-output and caches it; later
+        renders sort pixels by that measured cost so each ray tile holds
+        similar-cost lanes (tile lifetime = max over its lanes — mixing a
+        10-bounce glass pixel into a tile of 2-bounce wall pixels idles 80%
+        of the tile).  A pure pixel permutation: bit-identical radiance per
+        pixel, any assignment order."""
+        key = (
+            id(scene.compiled), width, height, band_y0, spp,
+            self.max_ray_bounce_depth, self.sampler, self.seed,
+        )
+        entry = self._plan_cache.get(key)
+        if entry is None:
+            fb, work = _render_band_regen(
+                scene.compiled, seed, jnp.int32(band_y0), jnp.int32(0),
+                width=width, height=height, band_rows=band_rows,
+                s_par=1, spp=spp, sample_limit=spp,
+                max_depth=self.max_ray_bounce_depth,
+                sampler=self.sampler, has_dof=has_dof, cam_consts=cam_c,
+                want_work=True,
+            )
+            # keep the cost map on device; converted lazily at plan build
+            self._plan_cache[key] = {"work": work}
+            return fb
+        if "plan" not in entry:
+            from ..ops.pallas_trace import BLK
+
+            tile = pick_tile(width, band_rows)
+            lane_idx = tile_order_lane_index(width, band_rows, tile)
+            w = np.asarray(entry["work"])
+            cost = w[lane_idx.reshape(-1)].reshape(band_rows, width)[
+                :rows_eff
+            ].reshape(-1)
+            ys, xs = np.divmod(np.arange(cost.size), width)
+            order = np.argsort(-cost, kind="stable")
+            px = xs[order]
+            py = ys[order] + band_y0
+            n_pad = -(-cost.size // BLK) * BLK
+            pad = n_pad - cost.size
+            s1 = np.full(cost.size, spp, np.int64)
+            if pad:
+                px = np.concatenate([px, np.zeros(pad, np.int64)])
+                py = np.concatenate([py, np.full(pad, band_y0, np.int64)])
+                s1 = np.concatenate([s1, np.zeros(pad, np.int64)])
+            entry["plan"] = tuple(
+                jnp.asarray(a.astype(np.int32))
+                for a in (px, py, np.zeros(n_pad, np.int64), s1)
+            )
+            entry.pop("work")
+        pxd, pyd, s0d, s1d = entry["plan"]
+        return _render_band_balanced(
+            scene.compiled, seed, jnp.int32(band_y0), pxd, pyd, s0d, s1d,
+            width=width, height=height, band_rows=band_rows, spp=spp,
+            max_depth=self.max_ray_bounce_depth, sampler=self.sampler,
+            has_dof=has_dof, cam_consts=cam_c,
+        )
 
     def render(
         self,
@@ -304,19 +553,45 @@ class Renderer:
         if use_regen:
             # Regenerating wavefront: one wave per band covers ALL samples.
             s_par, band_rows = self.regen_geometry(width, height, spp)
+            balance = (
+                s_par == 1
+                and self.balance_min_spp > 0
+                and spp >= self.balance_min_spp
+                and not os.environ.get("ZWRT_NO_BALANCE")
+            )
             n_bands = -(-height // band_rows)
             fb = jnp.zeros((n_bands * band_rows, width, 3), real)
             cam_c = camera_consts(scene.camera, width, height)
+            sc = scene.compiled
+            sortable = (
+                s_par == 1
+                and not balance
+                and not (sc.has_sph_tree or sc.has_quad_tree)
+                and not os.environ.get("ZWRT_NO_SORT")
+            )
             for b in range(n_bands):
-                out = _render_band_regen(
-                    scene.compiled, seed,
-                    jnp.int32(b * band_rows), jnp.int32(0),
-                    width=width, height=height, band_rows=band_rows,
-                    s_par=s_par, spp=spp, sample_limit=spp,
-                    max_depth=self.max_ray_bounce_depth,
-                    sampler=self.sampler, has_dof=has_dof,
-                    cam_consts=cam_c,
-                )
+                if balance:
+                    out = self._render_band_balanced_driver(
+                        scene, seed, b * band_rows,
+                        min(band_rows, height - b * band_rows),
+                        band_rows, width, height, spp, has_dof, cam_c,
+                    )
+                elif sortable:
+                    out = self._render_band_sorted_driver(
+                        scene, seed, b * band_rows,
+                        min(band_rows, height - b * band_rows),
+                        band_rows, width, height, spp, has_dof, cam_c,
+                    )
+                else:
+                    out = _render_band_regen(
+                        scene.compiled, seed,
+                        jnp.int32(b * band_rows), jnp.int32(0),
+                        width=width, height=height, band_rows=band_rows,
+                        s_par=s_par, spp=spp, sample_limit=spp,
+                        max_depth=self.max_ray_bounce_depth,
+                        sampler=self.sampler, has_dof=has_dof,
+                        cam_consts=cam_c,
+                    )
                 fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
             return fb[:height] / real(spp)
 

@@ -201,6 +201,7 @@ _STATIC_FIELDS = [
     "has_moving", "has_bvh", "max_leaf_size", "has_image_textures",
     "lights", "has_sph_tree", "has_quad_tree",
     "background_rgb", "light_params", "has_emissive_image", "image_dims",
+    "needs_gauss",
 ]
 
 
@@ -297,6 +298,10 @@ class CompiledScene:
     #              wx, wy, wz, offset, area)).
     background_rgb: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     light_params: Tuple = ()
+    # True iff any material actually consumes the per-bounce gaussian triple
+    # (isotropic scatter or fuzzy metal) — when False the bounce kernel
+    # skips the Box-Muller transcendentals entirely.
+    needs_gauss: bool = True
     # True if any emissive material samples an image texture (forces the
     # XLA integrator; the bounce kernel handles everything else)
     has_emissive_image: bool = False
@@ -1026,6 +1031,11 @@ def _compile_tables(
             m["type"] == MAT_DIFFUSE_LIGHT
             and textures
             and textures[m.get("tex", 0)]["kind"] == TEX_IMAGE
+            for m in materials
+        ),
+        needs_gauss=any(
+            m["type"] == MAT_ISOTROPIC
+            or (m["type"] == MAT_METAL and float(m.get("fuzz", 0.0)) > 0.0)
             for m in materials
         ),
         image_dims=tuple(
