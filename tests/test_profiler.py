@@ -1,0 +1,68 @@
+"""Host-side zone statistics (the Tracy-lite CLI view).
+
+The reference gets live per-zone stats from the Tracy viewer
+(src/render.zig:30 etc.); without a viewer this framework accumulates
+host wall-clock per named_zone and prints a table (utils/profiler.py).
+"""
+
+import time
+
+from zig_weekend_raytracer_tpu.utils import profiler
+
+
+def setup_function(_fn):
+    profiler.reset_zones()
+    profiler.set_profiling(True)
+
+
+def teardown_function(_fn):
+    profiler.set_profiling(False)
+    profiler.reset_zones()
+
+
+def test_zone_accumulation_counts_and_times():
+    for _ in range(3):
+        with profiler.named_zone("unit::fast"):
+            pass
+    with profiler.named_zone("unit::slow"):
+        time.sleep(0.01)
+    s = profiler.zone_summary()
+    assert s["unit::fast"][0] == 3
+    n, tot, mn, mx = s["unit::slow"]
+    assert n == 1
+    assert tot >= 0.009
+    assert mn <= mx <= tot + 1e-9
+
+
+def test_zones_noop_when_disabled():
+    profiler.set_profiling(False)
+    with profiler.named_zone("unit::off"):
+        pass
+    assert "unit::off" not in profiler.zone_summary()
+
+
+def test_format_table_sorted_by_total():
+    with profiler.named_zone("unit::big"):
+        time.sleep(0.01)
+    with profiler.named_zone("unit::small"):
+        pass
+    out = profiler.format_zone_summary()
+    lines = out.splitlines()
+    assert "zone" in lines[0] and "count" in lines[0]
+    assert lines[1].startswith("unit::big")
+    assert "unit::small" in out
+
+
+def test_cli_profile_flag_prints_table(tmp_path, capsys):
+    from zig_weekend_raytracer_tpu.cli import main
+
+    out_path = tmp_path / "p.ppm"
+    rc = main([
+        "--image_width=8", "--image_height=8", "--samples_per_pixel=1",
+        "--ray_bounce_max_depth=2", "--scene=cornell_box",
+        f"--image_out_path={out_path}", "--profile=true",
+    ])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "Renderer::render" in captured
+    assert "count" in captured

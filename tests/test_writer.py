@@ -59,11 +59,23 @@ class TestWrite:
         assert open(p1, "rb").read() == open(p2, "rb").read()
 
     def test_variable_width_decimals(self, tmp_path):
+        """Each byte value is written at its minimal decimal width (no
+        zero padding), matching the reference writer's %d formatting
+        (src/writer/writer.zig)."""
         fb = np.zeros((1, 3, 3), np.float32)
-        fb[0, 0] = (0.0001, 0.25, 0.999)  # bytes: 2? -> widths 1/3
+        # chosen so the encoded bytes span 1-, 2-, and 3-digit widths
+        fb[0, 0] = (0.0, 0.25, 0.999)
+        fb[0, 1] = (1.0, 0.0001, 0.01)
         path = str(tmp_path / "w.ppm")
         ppm.write_ppm(path, fb)
         body = open(path, "rb").read().split(b"\n", 3)[3]
-        # each value is written with its minimal decimal width
         toks = body.split()
-        assert all(not t.startswith(b"0") or t == b"0" for t in toks)
+        assert len(toks) == 9
+        expected = ppm.encode_pixels(fb).reshape(-1)
+        # exact round-trip: every token IS the decimal of its byte value,
+        # written with minimal width (str() has no padding by definition)
+        assert [int(t) for t in toks] == list(expected)
+        assert all(t == str(int(t)).encode() for t in toks)
+        # the chosen pixels genuinely exercise 1-, 2-, and 3-digit widths
+        widths = {len(t) for t in toks}
+        assert {1, 2, 3} <= widths

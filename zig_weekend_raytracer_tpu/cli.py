@@ -37,6 +37,9 @@ class UserArgs:
     seed: int = 0
     asset_dir: str = DEFAULT_ASSET_DIR
     shard: str = "none"  # none | samples | rows  (multi-chip)
+    # print a Tracy-lite per-zone wall-clock table after the render
+    # (host-side stats; ZWRT_PROFILE=1 enables the same accumulation)
+    profile: bool = False
 
 
 def parse_user_args(argv) -> UserArgs:
@@ -64,6 +67,11 @@ def main(argv=None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
 
+    if args.profile:
+        from .utils.profiler import set_profiling
+
+        set_profiling(True)
+
     scene = load_scene(args.scene, seed=args.seed, asset_dir=args.asset_dir)
     timer.log_info_elapsed("scene initialized")
 
@@ -90,6 +98,11 @@ def main(argv=None) -> int:
 
     write_ppm(args.image_out_path, fb, n_threads=args.thread_pool_size)
     timer.log_info_elapsed("scene written to file")
+
+    from .utils.profiler import format_zone_summary, profiling_enabled
+
+    if profiling_enabled():
+        print(format_zone_summary())
     return 0
 
 

@@ -66,8 +66,10 @@ from ..geometry import sphere as sphere_g
 from .shade import (
     _C_FUZZ,
     _C_IMG,
+    _C_IMG2,
     _C_INVSCALE,
     _C_MAT,
+    _C_MATID,
     _C_REFRACT,
     _C_RGB,
     _C_RGB2,
@@ -161,6 +163,16 @@ def _lut_column(lut_ref, c: int, row, lane, n_rows: int):
         shuffled = jnp.take_along_axis(tab, lane, axis=1)
         out = jnp.where(row == rr, shuffled, out) if n_rows > 1 else shuffled
     return out
+
+
+def _gather_lut_cols(lut_ref, cols, row, lane, n_rows: int):
+    """Batched record gather: several columns at the same per-lane
+    (row, lane) indices.  Dense over row-chunks — a data-dependent
+    chunk-skip was measured slower (the regenerating wavefront decoheres
+    lane states, so tiles touch most chunks anyway and the per-chunk
+    scalar branch costs more than it saves).  Returns {col: (ROWS, LANE)}.
+    """
+    return {c: _lut_column(lut_ref, c, row, lane, n_rows) for c in cols}
 
 
 # ---------------------------------------------------------------------------
@@ -515,6 +527,7 @@ def _bounce_kernel(
         )
         work_ref = nxt() if regen["work"] else None
     lut_ref = nxt()
+    mat_ref = nxt()
     trace = _unpack_trace_refs(cfg, nxt)
     (nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref,
      nthx_ref, nthy_ref, nthz_ref, nrax_ref, nray_ref, nraz_ref,
@@ -563,62 +576,125 @@ def _bounce_kernel(
         vo_ref[0] = jnp.zeros(shape, real)
         io_ref[0] = jnp.full(shape, -1, jnp.int32)
 
-    @pl.when(any_alive)
-    def _run():
-        seed = seed_ref[0, 0]
-        origin = V3(ox_ref[0], oy_ref[0], oz_ref[0])
-        direction = V3(dx_ref[0], dy_ref[0], dz_ref[0])
-        tm = time_ref[0]
-        rid = rid_ref[0]
-        throughput = V3(thx_ref[0], thy_ref[0], thz_ref[0])
-        radiance = V3(rax_ref[0], ray_ref[0], raz_ref[0])
-        alive = alive_i > 0
+    if regen:
+        # Suspend-on-atlas drain: loop bounces IN-KERNEL until some lane
+        # needs an atlas fetch (io >= 0) or the tile runs out of work, so
+        # the XLA driver's per-launch HBM round-trip is paid once per
+        # atlas interruption instead of once per bounce.  Image-free
+        # stretches of a path (the common case outside image-heavy pixels)
+        # run at whole-render-megakernel speed; a scene whose every bounce
+        # hits an image texture degrades gracefully to the old
+        # one-bounce-per-launch behavior.
+        @pl.when(any_alive)
+        def _run_regen():
+            seed = seed_ref[0, 0]
+            px_v = px_ref[0]
+            py_v = py_ref[0]
+            limit_v = limit_ref[0]
+            stride = regen["stride"]
+            shp = (ROWS, LANE)
 
-        if regen:
-            sample = sample_ref[0]
-            (origin, direction, tm, rid, throughput, sample, bounce_ct,
-             alive) = _respawn_values(
-                cfg, seed, px_ref[0], py_ref[0], limit_ref[0],
-                origin, direction, tm, rid, throughput,
-                sample, bounce_ref[0], alive,
-            )
-            if regen["work"]:
-                # lanes that trace this call did one unit of work — the
+            def body(carry):
+                (ox, oy, oz, dx, dy, dz, tm, rid, thx, thy, thz,
+                 rx, ry, rz, alive_c, sample, bounce, work,
+                 _uo, _vo, _io) = carry
+                origin = V3(ox, oy, oz)
+                direction = V3(dx, dy, dz)
+                throughput = V3(thx, thy, thz)
+                radiance = V3(rx, ry, rz)
+                alive = alive_c > 0
+                (origin, direction, tm, rid, throughput, sample, bounce_ct,
+                 alive) = _respawn_values(
+                    cfg, seed, px_v, py_v, limit_v,
+                    origin, direction, tm, rid, throughput,
+                    sample, bounce, alive,
+                )
+                # lanes that trace this step did one unit of work — the
                 # per-pixel cost signal for profile-guided balancing
-                nwork_ref[0] = work_ref[0] + alive.astype(jnp.int32)
-            depth = bounce_ct  # per-lane RNG site selector
-        else:
+                work = work + alive.astype(jnp.int32)
+                (new_origin, new_direction, new_throughput, radiance,
+                 survives, (uo, vo, io)) = _bounce_core(
+                    cfg, trace, lut_ref, mat_ref, seed, bounce_ct,
+                    origin, direction, tm, rid, throughput, radiance, alive,
+                )
+                # depth cutoff per path (reference: src/render.zig:199)
+                bounce_next = bounce_ct + 1
+                survives = survives & (bounce_next < regen["max_depth"])
+                return (
+                    new_origin.x, new_origin.y, new_origin.z,
+                    new_direction.x, new_direction.y, new_direction.z,
+                    tm, rid,
+                    new_throughput.x, new_throughput.y, new_throughput.z,
+                    radiance.x, radiance.y, radiance.z,
+                    survives.astype(jnp.int32), sample, bounce_next, work,
+                    uo, vo, io,
+                )
+
+            def cond(carry):
+                # a tile-wide exit on the FIRST iteration with an atlas
+                # event (per-lane stalling measured slower: frozen lanes
+                # waste whole-tile trace iterations while stragglers
+                # drain; the s_par floor for image scenes keeps the
+                # per-lane event chain short instead)
+                alive_c, sample, io = carry[14], carry[15], carry[20]
+                can_work = jnp.any(
+                    (alive_c > 0) | (sample + stride < limit_v)
+                )
+                return can_work & jnp.logical_not(jnp.any(io >= 0))
+
+            init = (
+                ox_ref[0], oy_ref[0], oz_ref[0],
+                dx_ref[0], dy_ref[0], dz_ref[0],
+                time_ref[0], rid_ref[0],
+                thx_ref[0], thy_ref[0], thz_ref[0],
+                rax_ref[0], ray_ref[0], raz_ref[0],
+                alive_i, sample_ref[0], bounce_ref[0],
+                work_ref[0] if regen["work"] else jnp.zeros(shp, jnp.int32),
+                jnp.zeros(shp, real), jnp.zeros(shp, real),
+                jnp.full(shp, -1, jnp.int32),
+            )
+            out = jax.lax.while_loop(cond, body, init)
+            (nox_ref[0], noy_ref[0], noz_ref[0],
+             ndx_ref[0], ndy_ref[0], ndz_ref[0],
+             ntime_ref[0], nrid_ref[0],
+             nthx_ref[0], nthy_ref[0], nthz_ref[0],
+             nrax_ref[0], nray_ref[0], nraz_ref[0],
+             nalive_ref[0], nsample_ref[0], nbounce_ref[0]) = out[:17]
+            if regen["work"]:
+                nwork_ref[0] = out[17]
+            uo_ref[0], vo_ref[0], io_ref[0] = out[18:]
+    else:
+        @pl.when(any_alive)
+        def _run():
+            seed = seed_ref[0, 0]
+            origin = V3(ox_ref[0], oy_ref[0], oz_ref[0])
+            direction = V3(dx_ref[0], dy_ref[0], dz_ref[0])
+            tm = time_ref[0]
+            rid = rid_ref[0]
+            throughput = V3(thx_ref[0], thy_ref[0], thz_ref[0])
+            radiance = V3(rax_ref[0], ray_ref[0], raz_ref[0])
+            alive = alive_i > 0
             depth = depth_ref[0, 0]
 
-        (new_origin, new_direction, new_throughput, radiance, survives,
-         uvio) = _bounce_core(
-            cfg, trace, lut_ref, seed, depth,
-            origin, direction, tm, rid, throughput, radiance, alive,
-        )
-        if regen:
-            # depth cutoff per path (the while_loop bound of the
-            # non-regenerating integrator; reference: src/render.zig:199)
-            bounce_next = bounce_ct + 1
-            survives = survives & (bounce_next < regen["max_depth"])
-            ntime_ref[0] = tm
-            nsample_ref[0] = sample
-            nbounce_ref[0] = bounce_next
-            nrid_ref[0] = rid
-
-        nox_ref[0] = new_origin.x
-        noy_ref[0] = new_origin.y
-        noz_ref[0] = new_origin.z
-        ndx_ref[0] = new_direction.x
-        ndy_ref[0] = new_direction.y
-        ndz_ref[0] = new_direction.z
-        nthx_ref[0] = new_throughput.x
-        nthy_ref[0] = new_throughput.y
-        nthz_ref[0] = new_throughput.z
-        nrax_ref[0] = radiance.x
-        nray_ref[0] = radiance.y
-        nraz_ref[0] = radiance.z
-        nalive_ref[0] = survives.astype(jnp.int32)
-        uo_ref[0], vo_ref[0], io_ref[0] = uvio
+            (new_origin, new_direction, new_throughput, radiance, survives,
+             uvio) = _bounce_core(
+                cfg, trace, lut_ref, mat_ref, seed, depth,
+                origin, direction, tm, rid, throughput, radiance, alive,
+            )
+            nox_ref[0] = new_origin.x
+            noy_ref[0] = new_origin.y
+            noz_ref[0] = new_origin.z
+            ndx_ref[0] = new_direction.x
+            ndy_ref[0] = new_direction.y
+            ndz_ref[0] = new_direction.z
+            nthx_ref[0] = new_throughput.x
+            nthy_ref[0] = new_throughput.y
+            nthz_ref[0] = new_throughput.z
+            nrax_ref[0] = radiance.x
+            nray_ref[0] = radiance.y
+            nraz_ref[0] = radiance.z
+            nalive_ref[0] = survives.astype(jnp.int32)
+            uo_ref[0], vo_ref[0], io_ref[0] = uvio
 
 
 def _trace_values(cfg, trace, origin, direction, tmin_tile, tm, alive):
@@ -658,7 +734,7 @@ def _trace_values(cfg, trace, origin, direction, tmin_tile, tm, alive):
 
 
 def _bounce_core(
-    cfg, trace, lut_ref, seed, depth,
+    cfg, trace, lut_ref, mat_ref, seed, depth,
     origin, direction, tm, rid, throughput, radiance, alive,
 ):
     """One full integrator bounce on in-register values: trace, shade-record
@@ -698,8 +774,34 @@ def _bounce_core(
     g_row = uidx // LANE
     g_lane = uidx % LANE
 
-    def col(c):
-        return _lut_column(lut_ref, c, g_row, g_lane, lut_rows)
+    # Split gather for big scenes: the 12 SHADING columns come from the
+    # deduplicated material table (usually one 128-lane chunk), so only the
+    # 7 geometry columns + _C_MATID pay the per-prim R-row-chunk price
+    # (measured >50% of a big-scene fused bounce at 18 dense columns).
+    # The image-UV geometry columns (7-14) are gathered lazily below, only
+    # when some lane in the tile actually needs an atlas fetch.
+    split = lut_rows > 1 and cfg["mat_rows"] == 1
+    if split:
+        geo = _gather_lut_cols(
+            lut_ref, list(range(7)) + [_C_MATID], g_row, g_lane, lut_rows
+        )
+        matid = geo[_C_MATID].astype(jnp.int32)
+        mat = _gather_lut_cols(
+            mat_ref, list(range(_C_MATID - _C_MAT)), matid, matid, 1
+        )
+
+        def col(c):
+            return geo[c] if c < _C_MAT else mat[c - _C_MAT]
+    else:
+        needed = list(range(7)) + list(range(_C_MAT, _C_IMG2 + 1))
+        if cfg["has_images"]:
+            needed += list(range(7, 15))
+        gathered = _gather_lut_cols(
+            lut_ref, sorted(set(needed)), g_row, g_lane, lut_rows
+        )
+
+        def col(c):
+            return gathered[c]
 
     # geometry reconstruction (ops/shade.py:_attrs_from_columns)
     safe_t = jnp.where(ht < _BIG, ht, 0.0)
@@ -731,9 +833,21 @@ def _bounce_core(
         V3.zeros(shape, real),
     )
 
-    # ---- texture value (solid / checker) ----
+    # ---- texture value (solid / checker; image children of a checker
+    # carry a neutral rgb here, the atlas pass multiplies the color in) ----
     parity = checker_parity(inv_scale, point)
-    tex_rgb = V3.where((tex_kind == 1) & (parity != 0), rgb2, rgb)
+    odd = (tex_kind == 1) & (parity != 0)
+    tex_rgb = V3.where(odd, rgb2, rgb)
+    if cfg["has_images"]:
+        # effective image: plain image texture (_C_IMG), or the
+        # parity-selected checker child when that child is an image
+        # (reference: src/texture.zig:117 — child sampled at the hit's u,v)
+        img_id = jnp.where(
+            odd, col(_C_IMG2).astype(jnp.int32), col(_C_IMG).astype(jnp.int32)
+        )
+        is_img = img_id >= 0
+    else:
+        is_img = tex_kind == 2
 
     # ---- emission (src/render.zig:232-240) ----
     is_emissive = mat_type == MAT_DIFFUSE_LIGHT
@@ -793,7 +907,6 @@ def _bounce_core(
     pdf_ratio = jnp.where(
         pdf_ok, scatter_pdf / jnp.where(pdf_ok, sample_pdf, 1.0), 0.0
     )
-    is_img = tex_kind == 2
     if cfg["has_images"]:
         # atlas color is multiplied in by the integrator afterwards
         diffuse_tex = V3.where(
@@ -829,28 +942,51 @@ def _bounce_core(
 
     # ---- image-texture info for the XLA fix-up pass ----
     if cfg["has_images"]:
-        # sphere UVs with the object-space un-rotation (ops/shade.py)
-        c_rot = col(7)
-        s_rot = col(8)
-        n_obj = V3(
-            c_rot * n_sph_v.x - s_rot * n_sph_v.z,
-            n_sph_v.y,
-            s_rot * n_sph_v.x + c_rot * n_sph_v.z,
-        )
-        u_sph, v_sph = _sphere_uv(n_obj)
-        # quad UVs = plane coordinates (alpha, beta)
-        q_w = V3(col(6), col(7), col(8))
-        q_u = V3(col(9), col(10), col(11))
-        q_v = V3(col(12), col(13), col(14))
-        planar = point - V3(col(0), col(1), col(2))
-        alpha = v3.dot(q_w, v3.cross(planar, q_v))
-        beta = v3.dot(q_w, v3.cross(q_u, planar))
-        uo = jnp.where(is_sphere, u_sph, alpha)
-        vo = jnp.where(is_sphere, v_sph, beta)
         # image id where this bounce applied a neutral albedo, else -1
+        # (img_id = the parity-resolved effective image, computed above)
         apply_img = hitmask & is_img & ~is_spec & ~is_emissive
-        img_id = col(_C_IMG).astype(jnp.int32)
         io = jnp.where(apply_img, img_id, -1)
+
+        def _uv_from(cv):
+            # sphere UVs with the object-space un-rotation (ops/shade.py)
+            c_rot = cv(7)
+            s_rot = cv(8)
+            n_obj = V3(
+                c_rot * n_sph_v.x - s_rot * n_sph_v.z,
+                n_sph_v.y,
+                s_rot * n_sph_v.x + c_rot * n_sph_v.z,
+            )
+            u_sph, v_sph = _sphere_uv(n_obj)
+            # quad UVs = plane coordinates (alpha, beta)
+            q_w = V3(cv(6), cv(7), cv(8))
+            q_u = V3(cv(9), cv(10), cv(11))
+            q_v = V3(cv(12), cv(13), cv(14))
+            planar = point - V3(cv(0), cv(1), cv(2))
+            alpha = v3.dot(q_w, v3.cross(planar, q_v))
+            beta = v3.dot(q_w, v3.cross(q_u, planar))
+            uo = jnp.where(is_sphere, u_sph, alpha)
+            vo = jnp.where(is_sphere, v_sph, beta)
+            return uo, vo
+
+        if split:
+            # the UV geometry columns ride the expensive per-prim gather,
+            # but only tiles with a lane that actually needs an atlas
+            # fetch pay for it (io == -1 lanes never read uo/vo)
+            def _compute_uv(_):
+                extra = _gather_lut_cols(
+                    lut_ref, list(range(7, 15)), g_row, g_lane, lut_rows
+                )
+                return _uv_from(lambda c: geo[c] if c < 7 else extra[c])
+
+            def _skip_uv(_):
+                z = jnp.zeros(shape, real)
+                return z, z
+
+            uo, vo = jax.lax.cond(
+                jnp.any(io >= 0), _compute_uv, _skip_uv, 0
+            )
+        else:
+            uo, vo = _uv_from(col)
     else:
         uo = jnp.zeros(shape, real)
         vo = jnp.zeros(shape, real)
@@ -875,6 +1011,7 @@ def _fused_render_kernel(seed_ref, *refs, cfg):
     nxt = lambda: refs[next(it)]
     px_ref, py_ref, s0_ref, limit_ref = (nxt() for _ in range(4))
     lut_ref = nxt()
+    mat_ref = nxt()
     trace = _unpack_trace_refs(cfg, nxt)
     rax_ref, ray_ref, raz_ref = (nxt() for _ in range(3))
     nwork_ref = nxt() if regen["work"] else None
@@ -926,7 +1063,7 @@ def _fused_render_kernel(seed_ref, *refs, cfg):
 
         (new_origin, new_direction, new_throughput, radiance, survives,
          _uvio) = _bounce_core(
-            cfg, trace, lut_ref, seed, bounce_ct,
+            cfg, trace, lut_ref, mat_ref, seed, bounce_ct,
             origin, direction, tm, rid, throughput, radiance, alive,
         )
         bounce_next = bounce_ct + 1
@@ -954,9 +1091,10 @@ def _fused_render_kernel(seed_ref, *refs, cfg):
 
 def supports_bounce_kernel(scene: CompiledScene) -> bool:
     """The kernel handles every reference feature except image-textured
-    EMISSIVE materials (atlas emission would need in-kernel atlas access);
-    those scenes use the XLA integrator (no reference scene has one)."""
-    return not scene.has_emissive_image
+    EMISSIVE materials (atlas emission would need in-kernel atlas access)
+    and checker-in-checker nesting (un-flattenable into one shade record);
+    those scenes use the XLA integrator (no reference scene has either)."""
+    return not scene.has_emissive_image and not scene.has_nested_checker
 
 
 def supports_fused_render(scene: CompiledScene) -> bool:
@@ -1067,6 +1205,7 @@ def _base_cfg(scene: CompiledScene, t_min, terminate_zero):
         "n_sph": scene.n_spheres,
         "n_quad": scene.n_quads,
         "lut_rows": scene.shade_lut.shape[1],
+        "mat_rows": scene.mat_lut.shape[1],
         "light_params": scene.light_params,
         "background": scene.background_rgb,
         "leaf_groups": _leaf_groups(),
@@ -1146,11 +1285,13 @@ def bounce_pallas(
         tile(radiance.x), tile(radiance.y), tile(radiance.z),
         tile(alive.astype(jnp.int32)),
         scene.shade_lut,
+        scene.mat_lut,
     ]
     in_specs = (
         [_smem_spec((1, 1)), _smem_spec((1, 1))]
         + [_tile_spec()] * 15
         + [_const_spec(scene.shade_lut.shape)]
+        + [_const_spec(scene.mat_lut.shape)]
     )
     cfg = _base_cfg(scene, t_min, terminate_zero)
     _scene_trace_inputs(scene, cfg, ins, in_specs)
@@ -1213,11 +1354,13 @@ def bounce_pallas_regen(
     if want_work:
         ins.append(tile(work))
     ins.append(scene.shade_lut)
+    ins.append(scene.mat_lut)
     n_tiles = 20 + (1 if want_work else 0)
     in_specs = (
         [_smem_spec((1, 1)), _smem_spec((1, 1))]
         + [_tile_spec()] * n_tiles
         + [_const_spec(scene.shade_lut.shape)]
+        + [_const_spec(scene.mat_lut.shape)]
     )
     cfg = _base_cfg(scene, t_min, terminate_zero)
     cfg["regen"] = {
@@ -1285,11 +1428,13 @@ def render_fused(
         jnp.asarray(seed, jnp.uint32).reshape(1, 1),
         tile(px), tile(py), tile(s0), tile(s1),
         scene.shade_lut,
+        scene.mat_lut,
     ]
     in_specs = (
         [_smem_spec((1, 1))]
         + [_tile_spec()] * 4
         + [_const_spec(scene.shade_lut.shape)]
+        + [_const_spec(scene.mat_lut.shape)]
     )
     cfg = _base_cfg(scene, t_min, terminate_zero)
     cfg["regen"] = {

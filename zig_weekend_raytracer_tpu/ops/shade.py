@@ -16,9 +16,12 @@ solid/checker, checker scale, image id, fuzz, refraction index).  One row
 gather per bounce replaces ~25 per-field gathers.  Scenes under the
 threshold keep per-field gathers (cheaper than a row fetch there).
 
-Denormalization restriction (TPU fast path): checkerboard children must be
-solid colors (true of every reference scene; the general nested-texture
-walk remains available in textures.texture_value for the portable path).
+Denormalization covers solid colors, checkerboards with solid OR image
+children, and plain image textures.  Checker-in-checker nesting cannot be
+flattened into one record; such scenes set ``scene.has_nested_checker``
+and the XLA integrator evaluates textures with the general walk
+(textures.texture_value, depth 4) instead — matching the reference's
+unbounded recursion (src/texture.zig:111-118) for any realistic nesting.
 """
 
 from __future__ import annotations
@@ -42,12 +45,18 @@ ROW_FETCH_MIN_PRIMS = 64
 # quads:   0-2 start, 3-5 normal, 6-8 w, 9-11 edge_u, 12-14 edge_v
 _C_MAT = 16       # material type code
 _C_TEXKIND = 17   # texture kind code
-_C_IMG = 18       # atlas image id
+_C_IMG = 18       # atlas image id: plain image texture, or checker EVEN
+                  # child when that child is an image; -1 = none
 _C_RGB = 19       # 19-21: solid / checker-even rgb, metal albedo, emission
 _C_RGB2 = 22      # 22-24: checker-odd rgb
 _C_INVSCALE = 25  # checker inverse scale
 _C_FUZZ = 26
 _C_REFRACT = 27
+_C_IMG2 = 28      # checker ODD child image id (-1 = none)
+_C_TEXID = 29     # original texture id (general-walk fallback for scenes
+                  # with checker-in-checker nesting)
+_C_MATID = 30     # index into the deduped material table (scene.mat_lut)
+SHADE_BLOCK = 14  # _C_MAT.._C_TEXID: the per-material shading column span
 RECORD_WIDTH = 32
 
 
@@ -62,6 +71,8 @@ class ShadeAttrs(NamedTuple):
     mat_type: jnp.ndarray
     tex_kind: jnp.ndarray
     img: jnp.ndarray
+    img2: jnp.ndarray
+    texid: jnp.ndarray
     rgb: V3
     rgb2: V3
     inv_scale: jnp.ndarray
@@ -74,8 +85,8 @@ def build_shade_rows(
     quad_shade: np.ndarray,
 ) -> np.ndarray:
     """Host-side: pack per-prim records.  ``*_geom`` are dicts of (S,)
-    columns; ``*_shade`` are (S, 12) shading blocks [mat, texkind, img,
-    rgb3, rgb23, inv_scale, fuzz, refract]."""
+    columns; ``*_shade`` are (S, SHADE_BLOCK) shading blocks [mat, texkind,
+    img, rgb3, rgb23, inv_scale, fuzz, refract, img2, texid]."""
     s = sph_shade.shape[0]
     q = quad_shade.shape[0]
     rows = np.zeros((s + q, RECORD_WIDTH), np.float32)
@@ -92,7 +103,7 @@ def build_shade_rows(
             )
         rows[:s, 7] = sph_geom["uv_cos"]
         rows[:s, 8] = sph_geom["uv_sin"]
-        rows[:s, _C_MAT : _C_MAT + 12] = sph_shade
+        rows[:s, _C_MAT : _C_MAT + SHADE_BLOCK] = sph_shade
     if q:
         rows[s:, 0] = quad_geom["sx"]
         rows[s:, 1] = quad_geom["sy"]
@@ -109,7 +120,7 @@ def build_shade_rows(
         rows[s:, 12] = quad_geom["vx"]
         rows[s:, 13] = quad_geom["vy"]
         rows[s:, 14] = quad_geom["vz"]
-        rows[s:, _C_MAT : _C_MAT + 12] = quad_shade
+        rows[s:, _C_MAT : _C_MAT + SHADE_BLOCK] = quad_shade
     return rows
 
 
@@ -166,6 +177,8 @@ def _attrs_from_columns(
         mat_type=shade_col(_C_MAT).astype(jnp.int32),
         tex_kind=shade_col(_C_TEXKIND).astype(jnp.int32),
         img=shade_col(_C_IMG).astype(jnp.int32),
+        img2=shade_col(_C_IMG2).astype(jnp.int32),
+        texid=shade_col(_C_TEXID).astype(jnp.int32),
         rgb=V3(shade_col(_C_RGB), shade_col(_C_RGB + 1), shade_col(_C_RGB + 2)),
         rgb2=V3(
             shade_col(_C_RGB2), shade_col(_C_RGB2 + 1), shade_col(_C_RGB2 + 2)

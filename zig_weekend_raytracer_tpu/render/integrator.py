@@ -52,7 +52,7 @@ from ..scene import (
     MAT_METAL,
     CompiledScene,
 )
-from ..textures import atlas_lookup, checker_parity
+from ..textures import atlas_lookup, checker_parity, texture_value
 from ..utils.profiler import named_zone
 from .pdfs import light_pdf_value, sample_light_direction
 
@@ -308,15 +308,23 @@ def trace_paths(
         mat_type = det.mat_type
 
         # ---- texture value from the denormalized record ----
-        # solid -> rgb; checker -> lattice parity picks rgb/rgb2
-        # (src/texture.zig:111-118); image -> atlas fetch
+        # solid -> rgb; checker -> lattice parity picks rgb/rgb2 or an
+        # image child (src/texture.zig:111-118); image -> atlas fetch.
+        # Checker-in-checker nesting can't flatten into one record, so
+        # those scenes evaluate the general texture walk instead.
         parity = checker_parity(det.inv_scale, det.point)
-        tex_rgb = V3.where(
-            (det.tex_kind == 1) & (parity != 0), det.rgb2, det.rgb
-        )
-        if scene.has_image_textures:
-            img_rgb = atlas_lookup(scene, det.img, det.u, det.v)
-            tex_rgb = V3.where(det.tex_kind == 2, img_rgb, tex_rgb)
+        odd = (det.tex_kind == 1) & (parity != 0)
+        tex_rgb = V3.where(odd, det.rgb2, det.rgb)
+        if scene.has_nested_checker:
+            tex_rgb = texture_value(
+                scene, det.texid, det.u, det.v, det.point
+            )
+        elif scene.has_image_textures:
+            img_id = jnp.where(odd, det.img2, det.img)
+            img_rgb = atlas_lookup(
+                scene, jnp.maximum(img_id, 0), det.u, det.v
+            )
+            tex_rgb = V3.where(img_id >= 0, img_rgb, tex_rgb)
 
         # ---- emission (src/render.zig:232-240) ----
         is_emissive = mat_type == MAT_DIFFUSE_LIGHT

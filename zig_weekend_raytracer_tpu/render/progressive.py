@@ -131,7 +131,10 @@ def _render_batch(
         from .camera import camera_consts
         from .renderer import _render_band_regen
 
-        s_par, band_rows_r = renderer.regen_geometry(width, height, spp_now)
+        s_par, band_rows_r = renderer.regen_geometry(
+            width, height, spp_now,
+            image_scene=scene.compiled.has_image_textures,
+        )
         n_bands_r = -(-height // band_rows_r)
         fb = jnp.zeros((n_bands_r * band_rows_r, width, 3), real)
         cam_c = camera_consts(scene.camera, width, height)

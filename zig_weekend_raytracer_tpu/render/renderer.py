@@ -403,10 +403,20 @@ class Renderer:
         default_factory=dict, repr=False, compare=False
     )
 
-    def regen_geometry(self, width: int, height: int, spp: int):
+    def regen_geometry(
+        self, width: int, height: int, spp: int, image_scene: bool = False
+    ):
         """(s_par, band_rows) for the regenerating wavefront: just enough
         samples-in-flight per pixel to fill the chip, rows capped by the
-        transient-memory budget."""
+        transient-memory budget.
+
+        ``image_scene`` is accepted for experimentation but does not change
+        the policy: raising s_par for image scenes (to shorten each lane's
+        serial atlas-event chain) was measured SLOWER at every tested value
+        (e.g. s_par=8: rtw_final 2.19 s -> 2.49 s, shrek 0.60 s -> 0.97 s)
+        — the larger wavefront multiplies per-launch grid cost faster than
+        it divides the suspend-launch count."""
+        del image_scene
         pixels = max(width * height, 1)
         s_par = max(1, min(spp, -(-self.regen_min_wave // pixels)))
         band_rows = max(
@@ -552,7 +562,10 @@ class Renderer:
 
         if use_regen:
             # Regenerating wavefront: one wave per band covers ALL samples.
-            s_par, band_rows = self.regen_geometry(width, height, spp)
+            s_par, band_rows = self.regen_geometry(
+                width, height, spp,
+                image_scene=scene.compiled.has_image_textures,
+            )
             balance = (
                 s_par == 1
                 and self.balance_min_spp > 0

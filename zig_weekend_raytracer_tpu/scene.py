@@ -188,6 +188,7 @@ _ARRAY_FIELDS = [
     # denormalized per-prim shading records (see ops/shade.py) + the
     # lane-LUT layout consumed by the Pallas bounce kernel
     "shade_rows", "shade_cols_sph", "shade_cols_quad", "shade_lut",
+    "mat_lut",
     # per-kind group trees for the Pallas traversal kernels
     "sph_tree_box", "sph_tree_link", "sph_tree_attrs",
     "quad_tree_box", "quad_tree_link", "quad_tree_attrs",
@@ -201,7 +202,7 @@ _STATIC_FIELDS = [
     "has_moving", "has_bvh", "max_leaf_size", "has_image_textures",
     "lights", "has_sph_tree", "has_quad_tree",
     "background_rgb", "light_params", "has_emissive_image", "image_dims",
-    "needs_gauss",
+    "needs_gauss", "has_nested_checker",
 ]
 
 
@@ -258,6 +259,11 @@ class CompiledScene:
     # the Pallas bounce kernel can gather a record per lane with R row
     # selects + one lane shuffle per column (see ops/pallas_bounce.py)
     shade_lut: jnp.ndarray
+    # (12, R_m, 128) f32 deduplicated shading records (columns
+    # _C_MAT.._C_REFRACT of shade_rows, unique rows); per-prim _C_MATID in
+    # shade_lut indexes into it.  Lets big scenes fetch shading at the
+    # material count's price instead of the primitive count's.
+    mat_lut: jnp.ndarray
     # Per-kind group trees walked by the Pallas traversal kernels
     # (ops/pallas_trace.py): preorder skip-link nodes whose leaves each hold
     # one sublane group of 8 primitives.  ``*_tree_box`` is (n_nodes, 6) f32
@@ -305,6 +311,9 @@ class CompiledScene:
     # True if any emissive material samples an image texture (forces the
     # XLA integrator; the bounce kernel handles everything else)
     has_emissive_image: bool = False
+    # checker-in-checker nesting: records can't flatten it; the XLA
+    # integrator falls back to the general texture walk for such scenes
+    has_nested_checker: bool = False
     # static (width, height) per atlas image: lets texture lookups compute
     # flat gather indices with compile-time strides (a single 1D gather is
     # ~8x cheaper than 3D fancy indexing on TPU)
@@ -737,10 +746,28 @@ def _compile_tables(
     lights = tuple((int(k), int(idx)) for k, idx in light_entries)
 
     # -- denormalized per-prim shading records (ops/shade.py) ------------
+    # Flattening covers solid / checker-of-(solid|image) / image; a checker
+    # whose child is ANOTHER checker cannot fit one record, so such scenes
+    # set has_nested_checker and the XLA integrator evaluates textures with
+    # the general walk (textures.texture_value) via the record's texid
+    # column instead (reference recursion: src/texture.zig:111-118).
+    def _checker_children(t) -> list:
+        return (
+            [textures[t["even"]], textures[t["odd"]]]
+            if t["kind"] == TEX_CHECKER
+            else []
+        )
+
+    has_nested_checker = any(
+        child["kind"] == TEX_CHECKER
+        for t in textures
+        for child in _checker_children(t)
+    )
+
     def _shade_block(mat_id: int) -> list:
         m = materials[mat_id] if materials else {"type": MAT_LAMBERTIAN}
         mt = m["type"]
-        tex_kind, img = TEX_SOLID, 0
+        tex_kind, img, img2, texid = TEX_SOLID, -1, -1, 0
         rgb, rgb2 = (0.0, 0.0, 0.0), (0.0, 0.0, 0.0)
         inv_scale, fz, refract = 0.0, 0.0, 1.0
         if mt == MAT_METAL:
@@ -749,41 +776,45 @@ def _compile_tables(
         elif mt == MAT_DIELECTRIC:
             refract = m.get("refract", 1.5)
         else:  # lambertian / isotropic / diffuse-light: texture-driven
-            t = textures[m.get("tex", 0)] if textures else {"kind": TEX_SOLID, "rgb": (0, 0, 0)}
+            texid = m.get("tex", 0)
+            t = textures[texid] if textures else {"kind": TEX_SOLID, "rgb": (0, 0, 0)}
             if t["kind"] == TEX_SOLID:
                 rgb = t["rgb"]
             elif t["kind"] == TEX_CHECKER:
                 tex_kind = TEX_CHECKER
                 inv_scale = t["inv_scale"]
 
-                def _solid_rgb(tid):
+                def _child_rgb_img(tid):
                     child = textures[tid]
-                    if child["kind"] != TEX_SOLID:
-                        # TPU fast path denormalizes one checker level; the
-                        # reference's scenes never nest further.
-                        import logging
+                    if child["kind"] == TEX_SOLID:
+                        return child["rgb"], -1
+                    if child["kind"] == TEX_IMAGE:
+                        # neutral albedo; the atlas pass multiplies the
+                        # parity-selected image in (same u,v as the hit —
+                        # reference: src/texture.zig:117)
+                        return (1.0, 1.0, 1.0), child["img"]
+                    # nested checker: values come from the general walk
+                    # (has_nested_checker routes the scene off the fast
+                    # path), the record slots are never read
+                    return (1.0, 1.0, 1.0), -1
 
-                        logging.getLogger("zwrt").warning(
-                            "checker child texture is not solid; using "
-                            "magenta debug color in the denormalized record"
-                        )
-                        return (1.0, 0.0, 1.0)
-                    return child["rgb"]
-
-                rgb = _solid_rgb(t["even"])
-                rgb2 = _solid_rgb(t["odd"])
+                rgb, img = _child_rgb_img(t["even"])
+                rgb2, img2 = _child_rgb_img(t["odd"])
             else:
                 tex_kind = TEX_IMAGE
                 img = t["img"]
         return [float(mt), float(tex_kind), float(img), *map(float, rgb),
-                *map(float, rgb2), float(inv_scale), float(fz), float(refract)]
+                *map(float, rgb2), float(inv_scale), float(fz),
+                float(refract), float(img2), float(texid)]
+
+    from .ops.shade import SHADE_BLOCK as _SB
 
     sph_shade = np.array(
         [_shade_block(s["mat"]) for s in spheres], _F
-    ).reshape(n_s, 12) if n_s else np.zeros((0, 12), _F)
+    ).reshape(n_s, _SB) if n_s else np.zeros((0, _SB), _F)
     quad_shade = np.array(
         [_shade_block(q["mat"]) for q in quads], _F
-    ).reshape(n_q, 12) if n_q else np.zeros((0, 12), _F)
+    ).reshape(n_q, _SB) if n_q else np.zeros((0, _SB), _F)
 
     from .ops.shade import build_shade_rows
 
@@ -821,6 +852,24 @@ def _compile_tables(
 
     shade_cols_sph = _cols(shade_rows[:n_s])
     shade_cols_quad = _cols(shade_rows[n_s : n_s + n_q])
+
+    # Deduplicated material table: primitives vastly outnumber distinct
+    # shading records (rtw_final: 3406 prims, ~9 records), so the bounce
+    # kernel fetches the 12 shading columns from this small table (usually
+    # one 128-lane chunk) and pays the per-prim R-row-chunk gather price
+    # only for the 7 geometry columns + the material id (_C_MATID).
+    from .ops.shade import _C_MAT as _CM, _C_MATID as _CMI
+
+    _mat_block = shade_rows[:, _CM : _CM + _SB]
+    _mat_uniq, _mat_inv = np.unique(
+        _mat_block, axis=0, return_inverse=True
+    )
+    shade_rows[:, _CMI] = _mat_inv.astype(_F)
+    _M = _mat_uniq.shape[0]
+    _RM = max(1, -(-_M // 128))
+    _mlut = np.zeros((_mat_uniq.shape[1], _RM * 128), _F)
+    _mlut[:, :_M] = _mat_uniq.T
+    mat_lut = jnp.asarray(_mlut.reshape(_mat_uniq.shape[1], _RM, 128))
 
     # lane-LUT layout for the bounce kernel: (32 cols, R, 128)
     _P = shade_rows.shape[0]
@@ -1001,6 +1050,7 @@ def _compile_tables(
         shade_cols_sph=shade_cols_sph,
         shade_cols_quad=shade_cols_quad,
         shade_lut=shade_lut,
+        mat_lut=mat_lut,
         sph_tree_box=sph_tree_box,
         sph_tree_link=sph_tree_link,
         sph_tree_attrs=sph_tree_attrs,
@@ -1021,7 +1071,12 @@ def _compile_tables(
         has_moving=any(np.any(s["move"] != 0) for s in spheres),
         has_bvh=has_bvh,
         max_leaf_size=int(bvh_arrays.get("max_leaf_size", 4)),
-        has_image_textures=any(t["kind"] == TEX_IMAGE for t in textures),
+        has_image_textures=any(
+            t["kind"] == TEX_IMAGE
+            or any(c["kind"] == TEX_IMAGE for c in _checker_children(t))
+            for t in textures
+        ),
+        has_nested_checker=has_nested_checker,
         lights=lights,
         has_sph_tree=has_sph_tree,
         has_quad_tree=has_quad_tree,
@@ -1030,7 +1085,13 @@ def _compile_tables(
         has_emissive_image=any(
             m["type"] == MAT_DIFFUSE_LIGHT
             and textures
-            and textures[m.get("tex", 0)]["kind"] == TEX_IMAGE
+            and (
+                textures[m.get("tex", 0)]["kind"] == TEX_IMAGE
+                or any(
+                    c["kind"] != TEX_SOLID
+                    for c in _checker_children(textures[m.get("tex", 0)])
+                )
+            )
             for m in materials
         ),
         needs_gauss=any(
