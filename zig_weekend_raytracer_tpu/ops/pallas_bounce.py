@@ -39,6 +39,7 @@ realistic texture).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -502,7 +503,10 @@ def _respawn_values(
     )
     bounce_ct = jnp.where(respawn, 0, bounce_ct)
     alive = alive | respawn
-    return origin, direction, tm, rid, throughput, sample, bounce_ct, alive
+    return (
+        origin, direction, tm, rid, throughput, sample, bounce_ct, alive,
+        respawn,
+    )
 
 
 def _bounce_kernel(
@@ -538,6 +542,12 @@ def _bounce_kernel(
         )
         nwork_ref = nxt() if regen["work"] else None
     uo_ref, vo_ref, io_ref = (nxt() for _ in range(3))
+    if regen and regen.get("atlas_slots"):
+        _K = regen["atlas_slots"]
+        seg_refs = [tuple(nxt() for _ in range(3)) for _ in range(_K)]
+        bufu_refs = [nxt() for _ in range(_K)]
+        bufv_refs = [nxt() for _ in range(_K)]
+        bufi_refs = [nxt() for _ in range(_K)]
 
     shape = (ROWS, LANE)
     alive_i = alive_ref[0]
@@ -575,16 +585,31 @@ def _bounce_kernel(
         uo_ref[0] = jnp.zeros(shape, real)
         vo_ref[0] = jnp.zeros(shape, real)
         io_ref[0] = jnp.full(shape, -1, jnp.int32)
+        if regen and regen.get("atlas_slots"):
+            for _j in range(regen["atlas_slots"]):
+                for _c in range(3):
+                    seg_refs[_j][_c][0] = jnp.zeros(shape, real)
+                bufu_refs[_j][0] = jnp.zeros(shape, real)
+                bufv_refs[_j][0] = jnp.zeros(shape, real)
+                bufi_refs[_j][0] = jnp.full(shape, -1, jnp.int32)
 
     if regen:
-        # Suspend-on-atlas drain: loop bounces IN-KERNEL until some lane
-        # needs an atlas fetch (io >= 0) or the tile runs out of work, so
-        # the XLA driver's per-launch HBM round-trip is paid once per
-        # atlas interruption instead of once per bounce.  Image-free
-        # stretches of a path (the common case outside image-heavy pixels)
-        # run at whole-render-megakernel speed; a scene whose every bounce
-        # hits an image texture degrades gracefully to the old
-        # one-bounce-per-launch behavior.
+        # Suspend-on-atlas drain: loop bounces IN-KERNEL until the tile
+        # runs out of work or an atlas interruption forces an exit, so the
+        # XLA driver's per-launch cost is paid once per interruption
+        # instead of once per bounce.  With K = regen["atlas_slots"] > 0,
+        # each lane BUFFERS up to K pending atlas events before forcing an
+        # exit: radiance is accumulated into per-chain-segment sums (the
+        # tex factor of an event multiplies every contribution after it,
+        # so segment k is later scaled by the product of chain entries
+        # 0..k — exact, just reassociated), and a lane that respawns a new
+        # sample with pending factors records a RESET sentinel (img = -2)
+        # so the driver restarts the factor product for the new path.
+        # Per-lane stalling (freezing event lanes while others drain) was
+        # measured SLOWER — frozen lanes waste whole-tile trace
+        # iterations — as was s_par event-chain splitting.
+        K = regen.get("atlas_slots") or 0
+
         @pl.when(any_alive)
         def _run_regen():
             seed = seed_ref[0, 0]
@@ -593,56 +618,126 @@ def _bounce_kernel(
             limit_v = limit_ref[0]
             stride = regen["stride"]
             shp = (ROWS, LANE)
+            zero = jnp.zeros(shp, real)
+            zero3 = V3.zeros(shp, real)
 
             def body(carry):
+                c = list(carry)
                 (ox, oy, oz, dx, dy, dz, tm, rid, thx, thy, thz,
-                 rx, ry, rz, alive_c, sample, bounce, work,
-                 _uo, _vo, _io) = carry
+                 rx, ry, rz, alive_c, sample, bounce, work) = c[:18]
+                uo_c, vo_c, io_c = c[18:21]
+                if K:
+                    rest = c[21:]
+                    segs = [
+                        V3(*rest[3 * j: 3 * j + 3]) for j in range(K)
+                    ]
+                    bufu = list(rest[3 * K: 4 * K])
+                    bufv = list(rest[4 * K: 5 * K])
+                    bufi = list(rest[5 * K: 6 * K])
+                    segidx = rest[6 * K]
+                    dirty = rest[6 * K + 1]
                 origin = V3(ox, oy, oz)
                 direction = V3(dx, dy, dz)
                 throughput = V3(thx, thy, thz)
                 radiance = V3(rx, ry, rz)
-                alive = alive_c > 0
+                alive0 = alive_c > 0
+
+                if K:
+                    # a dead lane that WOULD respawn but has a full chain
+                    # cannot record the reset sentinel: suppress the
+                    # respawn (pretend alive) and flag an exit (io = -2)
+                    want_respawn = (
+                        jnp.logical_not(alive0)
+                        & (sample + stride < limit_v)
+                    )
+                    blocked = want_respawn & (dirty > 0) & (segidx >= K)
+                else:
+                    blocked = jnp.zeros(shp, bool)
+
                 (origin, direction, tm, rid, throughput, sample, bounce_ct,
-                 alive) = _respawn_values(
+                 alive, respawned) = _respawn_values(
                     cfg, seed, px_v, py_v, limit_v,
                     origin, direction, tm, rid, throughput,
-                    sample, bounce, alive,
+                    sample, bounce, alive0 | blocked,
                 )
+                step = alive & jnp.logical_not(blocked)
+
+                if K:
+                    # reset sentinel for respawns with pending factors
+                    need_sent = respawned & (dirty > 0)
+                    for k in range(K):
+                        sel = need_sent & (segidx == k)
+                        bufi[k] = jnp.where(sel, jnp.int32(-2), bufi[k])
+                    segidx = segidx + need_sent.astype(jnp.int32)
+                    dirty = jnp.where(need_sent, 0, dirty)
+
                 # lanes that trace this step did one unit of work — the
                 # per-pixel cost signal for profile-guided balancing
-                work = work + alive.astype(jnp.int32)
-                (new_origin, new_direction, new_throughput, radiance,
+                work = work + step.astype(jnp.int32)
+                (new_origin, new_direction, new_throughput, rad_out,
                  survives, (uo, vo, io)) = _bounce_core(
                     cfg, trace, lut_ref, mat_ref, seed, bounce_ct,
-                    origin, direction, tm, rid, throughput, radiance, alive,
+                    origin, direction, tm, rid, throughput,
+                    zero3 if K else radiance, step,
                 )
                 # depth cutoff per path (reference: src/render.zig:199)
                 bounce_next = bounce_ct + 1
                 survives = survives & (bounce_next < regen["max_depth"])
-                return (
+
+                if K:
+                    # route this bounce's radiance delta to the segment of
+                    # the lane's current chain position
+                    d = rad_out
+                    radiance = radiance + V3.where(segidx == 0, d, zero3)
+                    for j in range(K):
+                        segs[j] = segs[j] + V3.where(
+                            segidx == j + 1, d, zero3
+                        )
+                    ev = io >= 0
+                    can_buf = segidx < K
+                    buffered = ev & can_buf
+                    for k in range(K):
+                        sel = buffered & (segidx == k)
+                        bufu[k] = jnp.where(sel, uo, bufu[k])
+                        bufv[k] = jnp.where(sel, vo, bufv[k])
+                        bufi[k] = jnp.where(sel, io, bufi[k])
+                    segidx = segidx + buffered.astype(jnp.int32)
+                    dirty = jnp.where(buffered, 1, dirty)
+                    overflow = ev & jnp.logical_not(can_buf)
+                    uo_c = jnp.where(overflow, uo, uo_c)
+                    vo_c = jnp.where(overflow, vo, vo_c)
+                    io_c = jnp.where(overflow, io, io_c)
+                    io_c = jnp.where(blocked, jnp.int32(-2), io_c)
+                else:
+                    radiance = rad_out
+                    uo_c, vo_c, io_c = uo, vo, io
+
+                out = [
                     new_origin.x, new_origin.y, new_origin.z,
                     new_direction.x, new_direction.y, new_direction.z,
                     tm, rid,
                     new_throughput.x, new_throughput.y, new_throughput.z,
                     radiance.x, radiance.y, radiance.z,
                     survives.astype(jnp.int32), sample, bounce_next, work,
-                    uo, vo, io,
-                )
+                    uo_c, vo_c, io_c,
+                ]
+                if K:
+                    for s in segs:
+                        out += [s.x, s.y, s.z]
+                    out += bufu + bufv + bufi + [segidx, dirty]
+                return tuple(out)
 
             def cond(carry):
-                # a tile-wide exit on the FIRST iteration with an atlas
-                # event (per-lane stalling measured slower: frozen lanes
-                # waste whole-tile trace iterations while stragglers
-                # drain; the s_par floor for image scenes keeps the
-                # per-lane event chain short instead)
+                # exit when nothing can progress or some lane raised the
+                # interruption flag (atlas overflow io>=0, blocked
+                # respawn io=-2); buffered events do NOT exit
                 alive_c, sample, io = carry[14], carry[15], carry[20]
                 can_work = jnp.any(
                     (alive_c > 0) | (sample + stride < limit_v)
                 )
-                return can_work & jnp.logical_not(jnp.any(io >= 0))
+                return can_work & jnp.logical_not(jnp.any(io != -1))
 
-            init = (
+            init = [
                 ox_ref[0], oy_ref[0], oz_ref[0],
                 dx_ref[0], dy_ref[0], dz_ref[0],
                 time_ref[0], rid_ref[0],
@@ -652,8 +747,13 @@ def _bounce_kernel(
                 work_ref[0] if regen["work"] else jnp.zeros(shp, jnp.int32),
                 jnp.zeros(shp, real), jnp.zeros(shp, real),
                 jnp.full(shp, -1, jnp.int32),
-            )
-            out = jax.lax.while_loop(cond, body, init)
+            ]
+            if K:
+                init += [zero] * (3 * K)              # segments
+                init += [zero] * K + [zero] * K       # bufu, bufv
+                init += [jnp.full(shp, -1, jnp.int32)] * K  # bufi
+                init += [jnp.zeros(shp, jnp.int32)] * 2     # segidx, dirty
+            out = jax.lax.while_loop(cond, body, tuple(init))
             (nox_ref[0], noy_ref[0], noz_ref[0],
              ndx_ref[0], ndy_ref[0], ndz_ref[0],
              ntime_ref[0], nrid_ref[0],
@@ -662,7 +762,17 @@ def _bounce_kernel(
              nalive_ref[0], nsample_ref[0], nbounce_ref[0]) = out[:17]
             if regen["work"]:
                 nwork_ref[0] = out[17]
-            uo_ref[0], vo_ref[0], io_ref[0] = out[18:]
+            uo_ref[0], vo_ref[0], io_ref[0] = out[18:21]
+            if K:
+                rest = out[21:]
+                for j in range(K):
+                    seg_refs[j][0][0] = rest[3 * j]
+                    seg_refs[j][1][0] = rest[3 * j + 1]
+                    seg_refs[j][2][0] = rest[3 * j + 2]
+                for k in range(K):
+                    bufu_refs[k][0] = rest[3 * K + k]
+                    bufv_refs[k][0] = rest[4 * K + k]
+                    bufi_refs[k][0] = rest[5 * K + k]
     else:
         @pl.when(any_alive)
         def _run():
@@ -1054,7 +1164,7 @@ def _fused_render_kernel(seed_ref, *refs, cfg):
         alive = alive_i > 0
 
         (origin, direction, tm, rid, throughput, sample, bounce_ct,
-         alive) = _respawn_values(
+         alive, _respawned) = _respawn_values(
             cfg, seed, pxv, pyv, limit,
             origin, direction, tm, rid, throughput, sample, bounce_ct,
             alive,
@@ -1235,6 +1345,14 @@ def _call_kernel(scene, cfg, ins, in_specs, g, n_outs):
         jax.ShapeDtypeStruct((g, ROWS, LANE), real),
         jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32),
     ]
+    if cfg["regen"] and cfg["regen"].get("atlas_slots"):
+        k = cfg["regen"]["atlas_slots"]
+        out_shape += [
+            jax.ShapeDtypeStruct((g, ROWS, LANE), real)
+        ] * (5 * k)  # 3k radiance segments + k bufu + k bufv
+        out_shape += [
+            jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32)
+        ] * k        # bufi
     assert len(out_shape) == n_outs
     return pl.pallas_call(
         functools.partial(_bounce_kernel, cfg=cfg),
@@ -1373,11 +1491,20 @@ def bounce_pallas_regen(
         "max_depth": max_depth,
         "has_dof": has_dof,
         "work": want_work,
+        # K pending-atlas-event slots per lane (0 disables buffering and
+        # restores exit-on-first-event); tunable via ZWRT_ATLAS_SLOTS
+        "atlas_slots": (
+            int(os.environ.get("ZWRT_ATLAS_SLOTS", "8"))
+            if scene.has_image_textures
+            else 0
+        ),
     }
+    K = cfg["regen"]["atlas_slots"]
     _scene_trace_inputs(scene, cfg, ins, in_specs)
 
     outs = _call_kernel(
-        scene, cfg, ins, in_specs, g, 20 + (1 if want_work else 0)
+        scene, cfg, ins, in_specs, g,
+        20 + (1 if want_work else 0) + 6 * K,
     )
 
     def u(x):
@@ -1386,7 +1513,19 @@ def bounce_pallas_regen(
     (nox, noy, noz, ndx, ndy, ndz, nthx, nthy, nthz,
      nrax, nray, nraz, nalive, ntime, nsample, nbounce, nrid) = outs[:17]
     nwork = u(outs[17]) if want_work else None
-    uo, vo, io = outs[-3:]
+    base = 18 if want_work else 17
+    uo, vo, io = outs[base: base + 3]
+    chain = None
+    if K:
+        rest = outs[base + 3:]
+        segs = [
+            V3(u(rest[3 * j]), u(rest[3 * j + 1]), u(rest[3 * j + 2]))
+            for j in range(K)
+        ]
+        bufu = [u(x) for x in rest[3 * K: 4 * K]]
+        bufv = [u(x) for x in rest[4 * K: 5 * K]]
+        bufi = [u(x) for x in rest[5 * K: 6 * K]]
+        chain = (segs, bufu, bufv, bufi)
     return (
         V3(u(nox), u(noy), u(noz)),
         V3(u(ndx), u(ndy), u(ndz)),
@@ -1395,6 +1534,7 @@ def bounce_pallas_regen(
         u(nalive) > 0,
         u(ntime), u(nsample), u(nbounce), u(nrid), nwork,
         (u(uo), u(vo), u(io)),
+        chain,
     )
 
 

@@ -63,8 +63,14 @@ def _interpret() -> bool:
 def _leaf_groups() -> int:
     """Sublane groups (x8 prims) per tree leaf.  Fatter leaves cut traversal
     steps (scalar-latency bound) at the price of culling granularity.  Must
-    match the value the scene was compiled with (scene.py reads this too)."""
-    return int(os.environ.get("ZWRT_LEAF_GROUPS", "4"))
+    match the value the scene was compiled with (scene.py reads this too).
+
+    Default 16 (128 prims/leaf) from a measured sweep on one v5e at
+    400x400: balls@128spp 23.5/26.7/31.2/— Mpaths/s and rtw_final@64spp
+    4.7/5.0/5.3/5.1 for spans 4/8/16/32 — post-bounce wavefronts are
+    divergent enough that tile-lockstep culling is weak, so streaming fat
+    VMEM leaves beats extra tree steps until ~span 32."""
+    return int(os.environ.get("ZWRT_LEAF_GROUPS", "16"))
 
 
 def _vmem_params():

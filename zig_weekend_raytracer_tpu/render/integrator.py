@@ -157,7 +157,7 @@ def trace_paths_regen(
 
     def body(st: RegenState):
         origin, direction, throughput, radiance, alive, time, sample, \
-            bounce, ray_id, work, (u, v, io) = bounce_pallas_regen(
+            bounce, ray_id, work, (u, v, io), chain = bounce_pallas_regen(
                 scene, st.origin, st.direction, st.time, st.ray_id,
                 st.throughput, st.radiance, st.alive,
                 px, py, st.sample, st.bounce, sample_limit,
@@ -169,8 +169,31 @@ def trace_paths_regen(
                 work=st.work if want_work else None,
             )
         if scene.has_image_textures:
+            # Resolve the per-lane pending-atlas-event chain: walk the K
+            # buffered slots in order, folding each texture color into the
+            # running factor (img = -2 is the RESET sentinel a respawn
+            # records — the new path's contributions take factor 1), and
+            # scale each radiance segment by the factor at its position.
+            # Exact: a segment holds exactly the contributions between two
+            # chain boundaries (ops/pallas_bounce.py regen loop).
+            nn = io.shape[0]
+            one = V3.full((nn,), 1.0, 1.0, 1.0, real)
+            factor = one
+            if chain is not None:
+                segs, bufu, bufv, bufi = chain
+                for k in range(len(bufi)):
+                    bi = bufi[k]
+                    col = atlas_lookup(
+                        scene, jnp.maximum(bi, 0), bufu[k], bufv[k]
+                    )
+                    factor = V3.where(
+                        bi == -2, one,
+                        V3.where(bi >= 0, factor * col, factor),
+                    )
+                    radiance = radiance + segs[k] * factor
             img_rgb = atlas_lookup(scene, jnp.maximum(io, 0), u, v)
-            throughput = V3.where(io >= 0, throughput * img_rgb, throughput)
+            factor = V3.where(io >= 0, factor * img_rgb, factor)
+            throughput = throughput * factor
         return RegenState(
             origin=origin, direction=direction, time=time,
             throughput=throughput, radiance=radiance, alive=alive,
