@@ -1492,10 +1492,16 @@ def bounce_pallas_regen(
         "has_dof": has_dof,
         "work": want_work,
         # K pending-atlas-event slots per lane (0 disables buffering and
-        # restores exit-on-first-event); tunable via ZWRT_ATLAS_SLOTS
+        # restores exit-on-first-event); tunable via ZWRT_ATLAS_SLOTS.
+        # Only pays off when the per-iteration trace is expensive (tree
+        # scenes): the chain threads ~6K extra (8,128) carries through the
+        # bounce loop, which dominates on small-prim scenes (measured:
+        # rtw_final 5.3 -> 6.6 Mpaths/s, but shrek_quads 34.5 -> 27.0 —
+        # so brute-trace image scenes keep exit-on-first-event).
         "atlas_slots": (
             int(os.environ.get("ZWRT_ATLAS_SLOTS", "8"))
             if scene.has_image_textures
+            and (scene.has_sph_tree or scene.has_quad_tree)
             else 0
         ),
     }
