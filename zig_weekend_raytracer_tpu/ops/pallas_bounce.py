@@ -256,7 +256,7 @@ def _tab_group_sphere(tab_ref, oi_ref, g, gid, *, has_moving):
     None means identity = original index from ``oi_ref``."""
     group = {
         "cx": _bcast(tab_ref[0, g]), "cy": _bcast(tab_ref[1, g]),
-        "cz": _bcast(tab_ref[2, g]), "r": _bcast(tab_ref[3, g]),
+        "cz": _bcast(tab_ref[2, g]), "r2": _bcast(tab_ref[3, g]),
     }
     if has_moving:
         group["mx"] = _bcast(tab_ref[4, g])
@@ -1273,7 +1273,7 @@ def _scene_trace_inputs(scene: CompiledScene, cfg, ins, in_specs):
         cfg["sph_mode"] = TR_BRUTE
         tab = brute_tab((
             scene.sph_center.x, scene.sph_center.y, scene.sph_center.z,
-            scene.sph_radius,
+            scene.sph_radius * scene.sph_radius,
             scene.sph_move.x, scene.sph_move.y, scene.sph_move.z,
         ))
         ins.append(tab)

@@ -110,12 +110,12 @@ def _sphere_group_hits(ray_row, group, t8, i8):
         cx = cx + group["mx"] * tm
         cy = cy + group["my"] * tm
         cz = cz + group["mz"] * tm
-    rr = group["r"]
+    r2 = group["r2"]
     ocx = cx - ox
     ocy = cy - oy
     ocz = cz - oz
     h = dx * ocx + dy * ocy + dz * ocz
-    c = ocx * ocx + ocy * ocy + ocz * ocz - rr * rr
+    c = ocx * ocx + ocy * ocy + ocz * ocz - r2
     disc = h * h - a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     root1 = (h - sq) * inv_a
@@ -217,7 +217,7 @@ def _sphere_kernel(
                 gidx = base + k * 8 + sub
                 group = {
                     "cx": _bcast(scx_ref[0, k]), "cy": _bcast(scy_ref[0, k]),
-                    "cz": _bcast(scz_ref[0, k]), "r": _bcast(sr_ref[0, k]),
+                    "cz": _bcast(scz_ref[0, k]), "r2": _bcast(sr_ref[0, k]),
                     "gid": gidx, "valid": gidx < n_prims,
                 }
                 if has_moving:
@@ -436,7 +436,7 @@ def _tree_leaf(
              oi_ref) = attr_refs
             group = {
                 "cx": bc(cx_ref), "cy": bc(cy_ref), "cz": bc(cz_ref),
-                "r": bc(r_ref), "gid": bc(oi_ref),
+                "r2": bc(r_ref), "gid": bc(oi_ref),
                 "valid": jnp.full((8, LANE), True),
             }
             if has_moving:
@@ -691,7 +691,7 @@ def closest_hit_pallas(
     )
     sph = (
         scene.sph_center.x, scene.sph_center.y, scene.sph_center.z,
-        scene.sph_radius,
+        scene.sph_radius * scene.sph_radius,
         scene.sph_move.x, scene.sph_move.y, scene.sph_move.z,
     )
     quad = (

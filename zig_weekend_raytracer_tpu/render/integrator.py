@@ -183,14 +183,25 @@ def trace_paths_regen(
                 segs, bufu, bufv, bufi = chain
                 for k in range(len(bufi)):
                     bi = bufi[k]
-                    col = atlas_lookup(
-                        scene, jnp.maximum(bi, 0), bufu[k], bufv[k]
+
+                    # slots empty across the whole wavefront (the common
+                    # case for high k once the render tail thins) skip
+                    # their full-wavefront atlas gather entirely
+                    def _apply(args, k=k, bi=bi):
+                        factor, radiance = args
+                        col = atlas_lookup(
+                            scene, jnp.maximum(bi, 0), bufu[k], bufv[k]
+                        )
+                        factor = V3.where(
+                            bi == -2, one,
+                            V3.where(bi >= 0, factor * col, factor),
+                        )
+                        return factor, radiance + segs[k] * factor
+
+                    factor, radiance = jax.lax.cond(
+                        jnp.any(bi != -1), _apply, lambda a: a,
+                        (factor, radiance),
                     )
-                    factor = V3.where(
-                        bi == -2, one,
-                        V3.where(bi >= 0, factor * col, factor),
-                    )
-                    radiance = radiance + segs[k] * factor
             img_rgb = atlas_lookup(scene, jnp.maximum(io, 0), u, v)
             factor = V3.where(io >= 0, factor * img_rgb, factor)
             throughput = throughput * factor

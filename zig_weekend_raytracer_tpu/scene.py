@@ -963,7 +963,7 @@ def _compile_tables(
             tr["prim_slots"],
             [
                 (sph_center[:n_s, 0], 1e30), (sph_center[:n_s, 1], 1e30),
-                (sph_center[:n_s, 2], 1e30), (sph_radius[:n_s], 0.0),
+                (sph_center[:n_s, 2], 1e30), (sph_radius[:n_s] ** 2, 0.0),
                 (sph_move[:n_s, 0], 0.0), (sph_move[:n_s, 1], 0.0),
                 (sph_move[:n_s, 2], 0.0),
             ],
