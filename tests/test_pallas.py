@@ -199,3 +199,47 @@ def test_fused_work_counter(pallas_interpret):
     assert (w[: W * H] >= spp).all()
     assert (w[: W * H] <= spp * depth).all()
     assert (w[W * H :] == 0).all()
+
+
+def test_atlas_chain_kernel_matches_xla(pallas_interpret):
+    """The K-slot atlas-event chain (buffered events + radiance segments +
+    reset sentinels, ops/pallas_bounce.py regen loop) only engages for
+    scenes with BOTH a group tree and image textures — none of the
+    reference scenes small enough for interpret mode have both, so this
+    synthetic one pins it: 80 spheres (tree) around two image-textured
+    spheres, renders bit-comparable to the XLA integrator."""
+    rng = np.random.default_rng(7)
+    b = SceneBuilder()
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[::2, ::2] = (200, 40, 40)
+    img[1::2, 1::2] = (40, 200, 40)
+    m_img = b.lambertian(b.image_texture(img))
+    m_gray = b.lambertian(b.solid_color((0.6, 0.6, 0.6)))
+    # two big image spheres in front: most paths hit an atlas event
+    b.add(b.sphere((-3, 0, 0), 3.0, m_img))
+    b.add(b.sphere((4, 0, -2), 2.5, m_img))
+    for _ in range(80):
+        b.add(b.sphere(rng.uniform(-12, 12, 3), rng.uniform(0.3, 1.0), m_gray))
+    b.use_bvh(True, min_prims=2)
+    b.set_camera(Camera(look_from=(0, 0, 25), look_at=(0, 0, 0)))
+    b.set_background((0.7, 0.8, 1.0))
+    scene = b.compile()
+    assert scene.compiled.has_sph_tree and scene.compiled.has_image_textures
+
+    r = Renderer(samples_per_pixel=4, max_ray_bounce_depth=5, seed=0)
+    fb_kernel = r.render(scene, 16, 16)
+
+    os.environ["ZWRT_NO_PALLAS"] = "1"
+    from zig_weekend_raytracer_tpu.ops.trace import _use_pallas_backend
+
+    _use_pallas_backend.cache_clear()
+    try:
+        fb_ref = r.render(scene, 16, 16)
+    finally:
+        del os.environ["ZWRT_NO_PALLAS"]
+        _use_pallas_backend.cache_clear()
+
+    assert np.isfinite(fb_kernel).all()
+    # the chain reassociates the tex-factor multiplies (segment sums scaled
+    # afterwards), so allow a few ULP beyond the usual bitwise match
+    np.testing.assert_allclose(fb_kernel, fb_ref, rtol=3e-5, atol=3e-6)
