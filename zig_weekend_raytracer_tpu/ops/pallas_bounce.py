@@ -1498,8 +1498,10 @@ def bounce_pallas_regen(
         # bounce loop, which dominates on small-prim scenes (measured:
         # rtw_final 5.3 -> 6.6 Mpaths/s, but shrek_quads 34.5 -> 27.0 —
         # so brute-trace image scenes keep exit-on-first-event).
+        # default 12 from a measured K sweep on rtw_final (6.9/6.9/7.1/7.1
+        # Mpaths/s for K = 4/8/12/16)
         "atlas_slots": (
-            int(os.environ.get("ZWRT_ATLAS_SLOTS", "8"))
+            int(os.environ.get("ZWRT_ATLAS_SLOTS", "12"))
             if scene.has_image_textures
             and (scene.has_sph_tree or scene.has_quad_tree)
             else 0
