@@ -1,21 +1,26 @@
-"""Pallas TPU bounce megakernel: ONE kernel per bounce — closest-hit trace,
-shade-record fetch, RNG, material scatter, and the light-mixture PDF, fused.
+"""Pallas TPU bounce megakernels: closest-hit trace, shade-record fetch,
+RNG, material scatter, and the light-mixture PDF, fused — and, in the
+whole-render and regenerating variants, the bounce/sample LOOP itself.
 
 Why: the XLA formulation of the per-bounce work (ops/shade.py +
 render/integrator.py) round-trips path state through HBM across dozens of
 unfused elementwise passes and pays a serialized gather for the shade
 records — measured ~18x the cost of the trace itself on one v5e.  Fusing
-the whole bounce keeps every intermediate in VMEM/registers: per bounce,
-HBM sees the path state exactly twice (read + write).
+keeps every intermediate in VMEM/registers; the whole-render kernel
+(``render_fused``) additionally removes the global bounce barrier: each
+ray tile drains its entire (pixel, sample-window) work list in one
+in-kernel ``while_loop``, respawning dead lanes with their pixel's next
+sample.
 
-Per tile of BLK rays the kernel:
+Per tile of BLK rays a bounce:
   1. traces against the scene tables, brute (streamed sublane groups, small
      tables) or group-tree (SMEM skip-link traversal, big tables) per
      primitive kind — same math as ops/pallas_trace.py;
   2. gathers the winning primitive's denormalized shade record with a
-     lane-LUT gather: the (P, 32) record table is laid out (32, R, 128) so
-     each column costs R row-selects + R lane shuffles (``take_along_axis``)
-     — ~1% of a trace for the biggest reference scene;
+     lane-LUT gather: per-prim GEOMETRY columns from the (32, R, 128)
+     shade LUT (R row-selects + lane shuffles each) and the 14 SHADING
+     columns from the deduplicated per-material table (scene.mat_lut,
+     usually one chunk);
   3. reconstructs hit attrs (point/normal/uv) — ops/shade.py math;
   4. draws RNG with the same content-addressed PCG4D streams as
      sampling/hashrng.py (bitwise-identical to the XLA integrator);
@@ -24,12 +29,15 @@ Per tile of BLK rays the kernel:
      mirroring render/integrator.py bounce-for-bounce (and thus the
      reference's rayColor, src/render.zig:188-289).
 
-Image textures are the one thing NOT fused (the atlas is too large for
-in-kernel gathers): the kernel emits (u, v, img-or--1) per ray and the
-integrator multiplies the atlas color into throughput in one XLA pass —
-valid because image textures only modulate multiplicatively (lambertian /
-isotropic albedo).  Scenes with image-textured *emissive* materials fall
-back to the XLA integrator (no reference scene has one).
+Image textures are the one thing NOT fused (Mosaic has no per-lane dynamic
+VMEM gather for the atlas): image scenes run the regenerating kernel under
+an XLA while_loop with suspend-on-atlas draining — each lane buffers up to
+K pending (u, v, img) events plus per-chain-segment radiance sums, the
+tile exits when a lane's chain overflows, and one XLA pass resolves every
+buffered event (valid because image textures only modulate
+multiplicatively — lambertian / isotropic albedo).  Scenes with
+image-textured *emissive* materials or checker-in-checker nesting fall
+back to the XLA integrator (no reference scene has either).
 
 Sphere UVs need acos/atan2, which Mosaic does not provide; `_atan2`/`_acos`
 are polynomial implementations (max abs err ~2e-7 rad — sub-texel for any
