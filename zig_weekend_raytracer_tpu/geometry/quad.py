@@ -34,8 +34,14 @@ def hit_t(
     t = (offset - v3.dot(normal, origin)) / jnp.where(not_parallel, denom, 1.0)
     in_range = (t >= t_min) & (t <= t_max)
     planar = origin + direction * t - start
-    alpha = v3.dot(w, v3.cross(planar, edge_v))
-    beta = v3.dot(w, v3.cross(edge_u, planar))
+    # triple-product rotation of the reference's alpha = w.(p x v),
+    # beta = w.(u x p) (src/entity.zig:493-494): p.(v x w) / p.(w x u).
+    # The rotated cross products are per-QUAD constants, so XLA hoists
+    # them out of the per-ray math (and the Pallas kernels precompute
+    # them as table columns) — the interior test drops from two in-loop
+    # cross products to two dot products.
+    alpha = v3.dot(planar, v3.cross(edge_v, w))
+    beta = v3.dot(planar, v3.cross(w, edge_u))
     interior = (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
     valid = not_parallel & in_range & interior
     return jnp.where(valid, t, INF), alpha, beta, valid

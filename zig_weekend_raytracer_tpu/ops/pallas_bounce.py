@@ -285,13 +285,11 @@ def _tab_group_quad(tab_ref, oi_ref, g, gid):
         "sz": _bcast(tab_ref[2, g]),
         "nx": _bcast(tab_ref[3, g]), "ny": _bcast(tab_ref[4, g]),
         "nz": _bcast(tab_ref[5, g]),
-        "wx": _bcast(tab_ref[6, g]), "wy": _bcast(tab_ref[7, g]),
-        "wz": _bcast(tab_ref[8, g]),
-        "ux": _bcast(tab_ref[9, g]), "uy": _bcast(tab_ref[10, g]),
-        "uz": _bcast(tab_ref[11, g]),
-        "vx": _bcast(tab_ref[12, g]), "vy": _bcast(tab_ref[13, g]),
-        "vz": _bcast(tab_ref[14, g]),
-        "off": _bcast(tab_ref[15, g]),
+        "ax": _bcast(tab_ref[6, g]), "ay": _bcast(tab_ref[7, g]),
+        "az": _bcast(tab_ref[8, g]),
+        "bx": _bcast(tab_ref[9, g]), "by": _bcast(tab_ref[10, g]),
+        "bz": _bcast(tab_ref[11, g]),
+        "off": _bcast(tab_ref[12, g]),
     }
     if gid is None:
         group["gid"] = _bcast(oi_ref[g])
@@ -1300,12 +1298,17 @@ def _scene_trace_inputs(scene: CompiledScene, cfg, ins, in_specs):
         ]
     elif scene.n_quads > 0:
         cfg["quad_mode"] = TR_BRUTE
+        qu, qv, qw = scene.quad_u, scene.quad_v, scene.quad_w
         tab = brute_tab((
             scene.quad_start.x, scene.quad_start.y, scene.quad_start.z,
             scene.quad_normal.x, scene.quad_normal.y, scene.quad_normal.z,
-            scene.quad_w.x, scene.quad_w.y, scene.quad_w.z,
-            scene.quad_u.x, scene.quad_u.y, scene.quad_u.z,
-            scene.quad_v.x, scene.quad_v.y, scene.quad_v.z,
+            # A = v x w, B = w x u (see pallas_trace._quad_group_hits)
+            qv.y * qw.z - qv.z * qw.y,
+            qv.z * qw.x - qv.x * qw.z,
+            qv.x * qw.y - qv.y * qw.x,
+            qw.y * qu.z - qw.z * qu.y,
+            qw.z * qu.x - qw.x * qu.z,
+            qw.x * qu.y - qw.y * qu.x,
             scene.quad_offset,
         ))
         ins.append(tab)

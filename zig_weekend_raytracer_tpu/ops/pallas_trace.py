@@ -141,19 +141,11 @@ def _quad_group_hits(ray_row, group, t8, i8):
     px = ox + dx * t - group["sx"]
     py = oy + dy * t - group["sy"]
     pz = oz + dz * t - group["sz"]
-    ux, uy, uz = group["ux"], group["uy"], group["uz"]
-    vx, vy, vz = group["vx"], group["vy"], group["vz"]
-    wx, wy, wz = group["wx"], group["wy"], group["wz"]
-    alpha = (
-        wx * (py * vz - pz * vy)
-        + wy * (pz * vx - px * vz)
-        + wz * (px * vy - py * vx)
-    )
-    beta = (
-        wx * (uy * pz - uz * py)
-        + wy * (uz * px - ux * pz)
-        + wz * (ux * py - uy * px)
-    )
+    # precomputed triple-product constants A = v x w, B = w x u
+    # (geometry/quad.py:hit_t): the reference's in-loop cross products
+    # become two dot products against per-quad table columns
+    alpha = px * group["ax"] + py * group["ay"] + pz * group["az"]
+    beta = px * group["bx"] + py * group["by"] + pz * group["bz"]
     interior = (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
     hit = not_par & in_range & interior & group["valid"]
     return jnp.where(hit, t, t8), jnp.where(hit, group["gid"], i8)
@@ -262,9 +254,8 @@ def _quad_kernel(
     t0_ref, k0_ref, i0_ref,
     qsx_ref, qsy_ref, qsz_ref,
     qnx_ref, qny_ref, qnz_ref,
-    qwx_ref, qwy_ref, qwz_ref,
-    qux_ref, quy_ref, quz_ref,
-    qvx_ref, qvy_ref, qvz_ref,
+    qax_ref, qay_ref, qaz_ref,
+    qbx_ref, qby_ref, qbz_ref,
     qoff_ref,
     t_ref, kind_ref, idx_ref,
     *, n_prims: int, prim_block: int,
@@ -295,12 +286,10 @@ def _quad_kernel(
                     "sz": _bcast(qsz_ref[0, k]),
                     "nx": _bcast(qnx_ref[0, k]), "ny": _bcast(qny_ref[0, k]),
                     "nz": _bcast(qnz_ref[0, k]),
-                    "wx": _bcast(qwx_ref[0, k]), "wy": _bcast(qwy_ref[0, k]),
-                    "wz": _bcast(qwz_ref[0, k]),
-                    "ux": _bcast(qux_ref[0, k]), "uy": _bcast(quy_ref[0, k]),
-                    "uz": _bcast(quz_ref[0, k]),
-                    "vx": _bcast(qvx_ref[0, k]), "vy": _bcast(qvy_ref[0, k]),
-                    "vz": _bcast(qvz_ref[0, k]),
+                    "ax": _bcast(qax_ref[0, k]), "ay": _bcast(qay_ref[0, k]),
+                    "az": _bcast(qaz_ref[0, k]),
+                    "bx": _bcast(qbx_ref[0, k]), "by": _bcast(qby_ref[0, k]),
+                    "bz": _bcast(qbz_ref[0, k]),
                     "off": _bcast(qoff_ref[0, k]),
                     "gid": gidx, "valid": gidx < n_prims,
                 }
@@ -445,14 +434,13 @@ def _tree_leaf(
                 group["mz"] = bc(mz_ref)
         else:
             (sx_ref, sy_ref, sz_ref, nx_ref, ny_ref, nz_ref,
-             wx_ref, wy_ref, wz_ref, ux_ref, uy_ref, uz_ref,
-             vx_ref, vy_ref, vz_ref, off_ref, oi_ref) = attr_refs
+             ax_ref, ay_ref, az_ref, bx_ref, by_ref, bz_ref,
+             off_ref, oi_ref) = attr_refs
             group = {
                 "sx": bc(sx_ref), "sy": bc(sy_ref), "sz": bc(sz_ref),
                 "nx": bc(nx_ref), "ny": bc(ny_ref), "nz": bc(nz_ref),
-                "wx": bc(wx_ref), "wy": bc(wy_ref), "wz": bc(wz_ref),
-                "ux": bc(ux_ref), "uy": bc(uy_ref), "uz": bc(uz_ref),
-                "vx": bc(vx_ref), "vy": bc(vy_ref), "vz": bc(vz_ref),
+                "ax": bc(ax_ref), "ay": bc(ay_ref), "az": bc(az_ref),
+                "bx": bc(bx_ref), "by": bc(by_ref), "bz": bc(bz_ref),
                 "off": bc(off_ref), "gid": bc(oi_ref),
                 "valid": jnp.full((8, LANE), True),
             }
@@ -564,7 +552,7 @@ def _quad_brute_stage(alive_tiles, tiles, seed, quad, *, n_quads):
             grid=(g, blocks),
             in_specs=[_ray_spec()] * 8
             + [_ray_spec()] * 3
-            + [table_spec()] * 16,
+            + [table_spec()] * 13,
             out_specs=[_ray_spec()] * 3,
         ),
         out_shape=_out_shapes(g),
@@ -694,12 +682,17 @@ def closest_hit_pallas(
         scene.sph_radius * scene.sph_radius,
         scene.sph_move.x, scene.sph_move.y, scene.sph_move.z,
     )
+    qu, qv, qw = scene.quad_u, scene.quad_v, scene.quad_w
     quad = (
         scene.quad_start.x, scene.quad_start.y, scene.quad_start.z,
         scene.quad_normal.x, scene.quad_normal.y, scene.quad_normal.z,
-        scene.quad_w.x, scene.quad_w.y, scene.quad_w.z,
-        scene.quad_u.x, scene.quad_u.y, scene.quad_u.z,
-        scene.quad_v.x, scene.quad_v.y, scene.quad_v.z,
+        # A = v x w, B = w x u (see _quad_group_hits)
+        qv.y * qw.z - qv.z * qw.y,
+        qv.z * qw.x - qv.x * qw.z,
+        qv.x * qw.y - qv.y * qw.x,
+        qw.y * qu.z - qw.z * qu.y,
+        qw.z * qu.x - qw.x * qu.z,
+        qw.x * qu.y - qw.y * qu.x,
         scene.quad_offset,
     )
     sph_tree = (scene.sph_tree_box, scene.sph_tree_link, scene.sph_tree_attrs)

@@ -973,6 +973,18 @@ def _compile_tables(
         sph_tree_link = jnp.zeros((1, 2), _I)
         sph_tree_attrs = ()
 
+    def _cross32(a, b):
+        a = a.astype(np.float32)
+        b = b.astype(np.float32)
+        return np.stack([
+            a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
+            a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2],
+            a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0],
+        ], axis=1)
+
+    _qA = _cross32(quad_v[:n_q], quad_w[:n_q])
+    _qB = _cross32(quad_w[:n_q], quad_u[:n_q])
+
     has_quad_tree = build_bvh and n_q >= TREE_MIN_PRIMS
     if has_quad_tree:
         lo, hi = _pad_thin(quad_lo.astype(np.float64), quad_hi.astype(np.float64))
@@ -987,12 +999,10 @@ def _compile_tables(
                 # zero normal -> parallel -> unhittable padding
                 (quad_normal[:n_q, 0], 0.0), (quad_normal[:n_q, 1], 0.0),
                 (quad_normal[:n_q, 2], 0.0),
-                (quad_w[:n_q, 0], 0.0), (quad_w[:n_q, 1], 0.0),
-                (quad_w[:n_q, 2], 0.0),
-                (quad_u[:n_q, 0], 0.0), (quad_u[:n_q, 1], 0.0),
-                (quad_u[:n_q, 2], 0.0),
-                (quad_v[:n_q, 0], 0.0), (quad_v[:n_q, 1], 0.0),
-                (quad_v[:n_q, 2], 0.0),
+                # A = v x w, B = w x u in f32 with v3.cross's exact op
+                # order, so kernel alpha/beta match the XLA path bitwise
+                (_qA[:, 0], 0.0), (_qA[:, 1], 0.0), (_qA[:, 2], 0.0),
+                (_qB[:, 0], 0.0), (_qB[:, 1], 0.0), (_qB[:, 2], 0.0),
                 (quad_offset[:n_q], 0.0),
             ],
         )
