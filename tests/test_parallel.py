@@ -95,3 +95,18 @@ def test_row_sharding_non_dividing_height(scene):
     )
     assert fb.shape == (13, 16, 3)
     np.testing.assert_allclose(np.asarray(fb), single, rtol=1e-4, atol=1e-6)
+
+
+def test_sample_sharding_image_scene():
+    """Sharded rendering of an IMAGE-texture scene (atlas gathers inside
+    the shard_map body) matches the single-device render — the sharded
+    path must carry the atlas tables into every shard."""
+    sc = zwrt.models.load_scene("shrek_quads")
+    r = Renderer(samples_per_pixel=8, max_ray_bounce_depth=3, seed=0)
+    single = r.render(sc, 16, 16)
+    fb = render_sharded(
+        sc, 16, 16, 8, max_depth=3, mesh=make_mesh(8), shard="samples",
+        seed=0,
+    )
+    assert np.isfinite(np.asarray(fb)).all()
+    np.testing.assert_allclose(np.asarray(fb), single, rtol=1e-4, atol=1e-6)
