@@ -65,12 +65,17 @@ def _leaf_groups() -> int:
     steps (scalar-latency bound) at the price of culling granularity.  Must
     match the value the scene was compiled with (scene.py reads this too).
 
-    Default 16 (128 prims/leaf) from a measured sweep on one v5e at
-    400x400: balls@128spp 23.5/26.7/31.2/— Mpaths/s and rtw_final@64spp
-    4.7/5.0/5.3/5.1 for spans 4/8/16/32 — post-bounce wavefronts are
-    divergent enough that tile-lockstep culling is weak, so streaming fat
-    VMEM leaves beats extra tree steps until ~span 32."""
-    return int(os.environ.get("ZWRT_LEAF_GROUPS", "16"))
+    Default 32 (256 prims/leaf) from measured sweeps on one v5e at
+    400x400 — post-bounce wavefronts are divergent enough that
+    tile-lockstep culling is weak, so streaming fat VMEM leaves beats
+    extra tree steps until the tree stops pruning at all:
+      balls@128spp:     23.5 / 26.7 / 31.2 / 34.2 / 37.4 / 21.5 Mpaths/s
+      rtw_final@64spp:   4.7 /  5.0 /  5.3 /  7.4* / —  / —
+    for spans 4 / 8 / 16 / 32 / 64 / 128 (*with the atlas chain + quad
+    refactor; 16 measured 7.5 there — a tie).  balls peaks at 64 and
+    collapses at 128 (a single leaf = zero culling); 32 is the best
+    single default across scenes."""
+    return int(os.environ.get("ZWRT_LEAF_GROUPS", "32"))
 
 
 def _vmem_params():
