@@ -70,7 +70,7 @@ def _leaf_groups() -> int:
     tile-lockstep culling is weak, so streaming fat VMEM leaves beats
     extra tree steps until the tree stops pruning at all:
       balls@128spp:     23.5 / 26.7 / 31.2 / 34.2 / 37.4 / 21.5 Mpaths/s
-      rtw_final@64spp:   4.7 /  5.0 /  5.3 /  7.4* / —  / —
+      rtw_final@64spp:   4.7 /  5.0 /  5.3 /  7.4* / 6.8* / —
     for spans 4 / 8 / 16 / 32 / 64 / 128 (*with the atlas chain + quad
     refactor; 16 measured 7.5 there — a tie).  balls peaks at 64 and
     collapses at 128 (a single leaf = zero culling); 32 is the best
