@@ -8,6 +8,16 @@ import sys
 # suite must run hermetically on a virtual 8-device CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# Small tree-leaf span for the whole suite: pick_leaf_span's hardware
+# defaults (64 for <=512 prims) unroll 64 groups x 8 sublane rows of
+# primitive math per leaf visit, which makes interpret-mode kernel tests
+# intractably slow to trace/execute on CPU (the round-3 row-structured
+# leaf sweep multiplied traced ops ~16x at span 64).  Span 4 exercises
+# DEEPER trees (more traversal steps, more leaves — better coverage of the
+# walk itself) at a fraction of the per-leaf cost.  Tests that probe a
+# specific span still override this themselves.
+os.environ.setdefault("ZWRT_LEAF_GROUPS", "4")
+
 # repo root on sys.path so `import __graft_entry__` works
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

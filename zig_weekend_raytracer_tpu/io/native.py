@@ -66,7 +66,7 @@ def _load() -> Optional[ctypes.CDLL]:
             if not build():
                 return None
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(_LIB_PATH, use_errno=True)
         except OSError as e:
             log.warning("failed to load native lib: %s", e)
             return None
@@ -97,13 +97,22 @@ def write_ppm(path: str, pixels_u8: np.ndarray, n_threads: int = 0) -> None:
     h, w, c = pixels_u8.shape
     assert c == 3
     buf = np.ascontiguousarray(pixels_u8)
+    ctypes.set_errno(0)
     rc = lib.zwrt_write_ppm(
         path.encode(),
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         w, h, n_threads,
     )
     if rc != 0:
-        raise OSError(f"native PPM write failed with code {rc}")
+        # rc identifies the failing stage (native/zwrt_native.cpp); errno
+        # carries the underlying syscall failure
+        stage = {-1: "open", -2: "ftruncate", -3: "mmap"}.get(rc, "write")
+        err = ctypes.get_errno()
+        detail = f": {os.strerror(err)}" if err else ""
+        raise OSError(
+            err, f"native PPM write failed at {stage} (rc={rc}){detail}: "
+            f"{path}"
+        )
 
 
 def decode_image(data: bytes) -> Optional[np.ndarray]:

@@ -8,20 +8,4 @@ whole ray wavefront is processed in one XLA op.
 from . import v3
 from .v3 import V3
 from .interval import INTERVAL_01, Interval
-from .vec import (
-    dot,
-    cross,
-    length,
-    length_squared,
-    normalize,
-    reflect,
-    refract,
-    lerp,
-    near_zero,
-    linearize_color_space,
-    gamma_correction,
-    OrthoBasis,
-    ortho_basis,
-    onb_transform,
-)
 from .aabb import aabb_hit, aabb_union, aabb_pad_to_minimum, aabb_longest_axis

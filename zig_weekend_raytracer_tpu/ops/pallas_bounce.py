@@ -93,7 +93,6 @@ from .pallas_trace import (
     _bcast,
     _fresh_group_best,
     _interpret,
-    _leaf_groups,
     _quad_group_hits,
     _reduce_group,
     _sphere_group_hits,
@@ -355,76 +354,103 @@ def _brute_pass(
     )
 
 
+def _leaf_visit(
+    kind_code, tab_ref, oi_ref, g0,
+    origin, direction, tmin, tm, t, kind, idx,
+    *, has_moving, leaf_groups,
+):
+    """Leaf sweep: test ``leaf_groups`` consecutive groups starting at
+    ``g0`` against every row of the tile.
+
+    MEASURED NEGATIVE (round 3, do not re-add): guarding each row's sweep
+    with ``lax.cond(any(box_hit[row]))`` — per-ROW leaf masking, divergence
+    granularity 128 — made every measured config SLOWER on a v5e (balls
+    spans 8/16/32/64: 15.1/19.8/26.8/33.8 vs 26.7/31.2/34.2/37.4 Mpaths/s
+    unmasked).  A Mosaic scalar branch inside the traversal while_loop
+    costs more than the span x ~20 VPU ops it can skip, and the branches
+    also serialize the otherwise-independent row chains.  Full writeup in
+    BASELINE.md."""
+    is_sphere = kind_code == PRIM_SPHERE
+    row_fn = _sphere_group_hits if is_sphere else _quad_group_hits
+    groups = []
+    for j in range(leaf_groups):
+        if is_sphere:
+            groups.append(_tab_group_sphere(
+                tab_ref, oi_ref, g0 + j, None, has_moving=has_moving
+            ))
+        else:
+            groups.append(_tab_group_quad(tab_ref, oi_ref, g0 + j, None))
+    rows_t, rows_k, rows_i = [], [], []
+    for r in range(ROWS):
+        ray_row = _make_ray_row(
+            origin, direction, tmin,
+            tm if (is_sphere and has_moving) else None, r,
+            with_quadratic=is_sphere,
+        )
+        t8, i8 = _fresh_group_best()
+        for group in groups:
+            t8, i8 = row_fn(ray_row, group, t8, i8)
+        t_new, k_new, i_new = _reduce_group(
+            t8, i8, kind_code,
+            t[r].reshape(1, LANE),
+            kind[r].reshape(1, LANE),
+            idx[r].reshape(1, LANE),
+        )
+        rows_t.append(t_new)
+        rows_k.append(k_new)
+        rows_i.append(i_new)
+    return (
+        jnp.concatenate(rows_t, axis=0),
+        jnp.concatenate(rows_k, axis=0),
+        jnp.concatenate(rows_i, axis=0),
+    )
+
+
+def _node_slab_test(box_ref, node, origin, inv_d, tmin, t, alive):
+    """Robust slab test of one SMEM node box against the whole tile
+    (reference: src/math/aabb.zig:80-101)."""
+    b0 = box_ref[node, 0]
+    b1 = box_ref[node, 1]
+    b2 = box_ref[node, 2]
+    b3 = box_ref[node, 3]
+    b4 = box_ref[node, 4]
+    b5 = box_ref[node, 5]
+    inv_dx, inv_dy, inv_dz = inv_d
+    tx0 = (b0 - origin.x) * inv_dx
+    tx1 = (b3 - origin.x) * inv_dx
+    ty0 = (b1 - origin.y) * inv_dy
+    ty1 = (b4 - origin.y) * inv_dy
+    tz0 = (b2 - origin.z) * inv_dz
+    tz1 = (b5 - origin.z) * inv_dz
+    near = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+        jnp.maximum(jnp.minimum(tz0, tz1), tmin),
+    )
+    far = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+        jnp.minimum(jnp.maximum(tz0, tz1), t),
+    ) * AABB_MAX_MULT
+    return (far > near) & alive
+
+
 def _tree_pass(
     kind_code, box_ref, link_ref, tab_ref, oi_ref,
     origin, direction, tmin, tm, alive, t, kind, idx,
     *, n_nodes, has_moving, leaf_groups,
 ):
     """Tile-lockstep skip-link traversal (the fused twin of
-    ops/pallas_trace.py:_tree_kernel; reference: src/entity.zig:286-303)."""
-    is_sphere = kind_code == PRIM_SPHERE
-    row_fn = _sphere_group_hits if is_sphere else _quad_group_hits
-    inv_dx = 1.0 / direction.x
-    inv_dy = 1.0 / direction.y
-    inv_dz = 1.0 / direction.z
+    ops/pallas_trace.py:_tree_kernel; reference: src/entity.zig:286-303).
 
-    def visit_leaf(g0, t, kind, idx):
-        groups = []
-        for j in range(leaf_groups):
-            if is_sphere:
-                groups.append(_tab_group_sphere(
-                    tab_ref, oi_ref, g0 + j, None, has_moving=has_moving
-                ))
-            else:
-                groups.append(_tab_group_quad(tab_ref, oi_ref, g0 + j, None))
-        rows_t, rows_k, rows_i = [], [], []
-        for r in range(ROWS):
-            ray_row = _make_ray_row(
-                origin, direction, tmin,
-                tm if (is_sphere and has_moving) else None, r,
-                with_quadratic=is_sphere,
-            )
-            t8, i8 = _fresh_group_best()
-            for group in groups:
-                t8, i8 = row_fn(ray_row, group, t8, i8)
-            t_new, k_new, i_new = _reduce_group(
-                t8, i8, kind_code,
-                t[r].reshape(1, LANE),
-                kind[r].reshape(1, LANE),
-                idx[r].reshape(1, LANE),
-            )
-            rows_t.append(t_new)
-            rows_k.append(k_new)
-            rows_i.append(i_new)
-        return (
-            jnp.concatenate(rows_t, axis=0),
-            jnp.concatenate(rows_k, axis=0),
-            jnp.concatenate(rows_i, axis=0),
-        )
+    The walk is tile-lockstep: one scalar node pointer per 1024-ray tile,
+    descending when any ray hits (see ``_leaf_visit`` for the measured
+    negative on per-row divergence masking)."""
+    inv_d = (1.0 / direction.x, 1.0 / direction.y, 1.0 / direction.z)
 
     def body(carry):
         node, t, kind, idx = carry
-        b0 = box_ref[node, 0]
-        b1 = box_ref[node, 1]
-        b2 = box_ref[node, 2]
-        b3 = box_ref[node, 3]
-        b4 = box_ref[node, 4]
-        b5 = box_ref[node, 5]
-        tx0 = (b0 - origin.x) * inv_dx
-        tx1 = (b3 - origin.x) * inv_dx
-        ty0 = (b1 - origin.y) * inv_dy
-        ty1 = (b4 - origin.y) * inv_dy
-        tz0 = (b2 - origin.z) * inv_dz
-        tz1 = (b5 - origin.z) * inv_dz
-        near = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.maximum(jnp.minimum(tz0, tz1), tmin),
+        box_hit = _node_slab_test(
+            box_ref, node, origin, inv_d, tmin, t, alive
         )
-        far = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.minimum(jnp.maximum(tz0, tz1), t),
-        ) * AABB_MAX_MULT
-        box_hit = (far > near) & alive
         any_hit = jnp.any(box_hit)
         miss_link = link_ref[node, 0]
         leaf_group = link_ref[node, 1]
@@ -432,9 +458,67 @@ def _tree_pass(
 
         t, kind, idx = jax.lax.cond(
             is_leaf & any_hit,
-            lambda args: visit_leaf(leaf_group, *args),
+            lambda args: _leaf_visit(
+                kind_code, tab_ref, oi_ref, leaf_group,
+                origin, direction, tmin, tm, *args,
+                has_moving=has_moving, leaf_groups=leaf_groups,
+            ),
             lambda args: args,
             (t, kind, idx),
+        )
+        nxt = jnp.where(any_hit & jnp.logical_not(is_leaf),
+                        node + 1, miss_link)
+        return nxt, t, kind, idx
+
+    _, t, kind, idx = jax.lax.while_loop(
+        lambda c: c[0] < n_nodes, body, (jnp.int32(0), t, kind, idx)
+    )
+    return t, kind, idx
+
+
+def _uni_tree_pass(
+    box_ref, link_ref, s_tab_ref, s_oi_ref, q_tab_ref, q_oi_ref,
+    origin, direction, tmin, tm, alive, t, kind, idx,
+    *, n_nodes, has_moving, leaf_groups,
+):
+    """Unified-tree traversal: ONE skip-link walk over a spatial tree whose
+    kind-pure leaves hold either spheres or quads
+    (geometry/bvh.py:build_group_tree_unified) — replaces the two
+    sequential per-kind walks, so a bounce pays root-to-miss overhead once
+    and visits only the kinds its rays' neighborhoods contain (the TPU
+    analog of the reference's single BVH over IEntity,
+    src/entity.zig:226-259)."""
+    inv_d = (1.0 / direction.x, 1.0 / direction.y, 1.0 / direction.z)
+
+    def body(carry):
+        node, t, kind, idx = carry
+        box_hit = _node_slab_test(
+            box_ref, node, origin, inv_d, tmin, t, alive
+        )
+        any_hit = jnp.any(box_hit)
+        miss_link = link_ref[node, 0]
+        leaf_group = link_ref[node, 1]
+        leaf_kind = link_ref[node, 2]
+        is_leaf = leaf_group >= 0
+
+        def visit(args):
+            return jax.lax.cond(
+                leaf_kind == PRIM_SPHERE,
+                lambda a: _leaf_visit(
+                    PRIM_SPHERE, s_tab_ref, s_oi_ref, leaf_group,
+                    origin, direction, tmin, tm, *a,
+                    has_moving=has_moving, leaf_groups=leaf_groups,
+                ),
+                lambda a: _leaf_visit(
+                    PRIM_QUAD, q_tab_ref, q_oi_ref, leaf_group,
+                    origin, direction, tmin, None, *a,
+                    has_moving=False, leaf_groups=leaf_groups,
+                ),
+                args,
+            )
+
+        t, kind, idx = jax.lax.cond(
+            is_leaf & any_hit, visit, lambda args: args, (t, kind, idx)
         )
         nxt = jnp.where(any_hit & jnp.logical_not(is_leaf),
                         node + 1, miss_link)
@@ -454,6 +538,10 @@ def _unpack_trace_refs(cfg, nxt):
     """Pull the per-kind trace-table refs off the kernel argument list into a
     dict keyed like _trace_values expects."""
     tr = {}
+    if cfg["uni_mode"]:
+        (tr["u_box"], tr["u_link"], tr["us_tab"], tr["us_oi"],
+         tr["uq_tab"], tr["uq_oi"]) = (nxt() for _ in range(6))
+        return tr
     if cfg["sph_mode"] == TR_BRUTE:
         tr["s_tab"] = nxt()
         tr["s_box"] = tr["s_link"] = tr["s_oi"] = None
@@ -820,6 +908,15 @@ def _trace_values(cfg, trace, origin, direction, tmin_tile, tm, alive):
     hk = jnp.full(shape, -1, jnp.int32)
     hi = jnp.zeros(shape, jnp.int32)
     has_moving = cfg["has_moving"]
+    if cfg["uni_mode"]:
+        return _uni_tree_pass(
+            trace["u_box"], trace["u_link"],
+            trace["us_tab"], trace["us_oi"],
+            trace["uq_tab"], trace["uq_oi"],
+            origin, direction, tmin_tile, tm, alive, ht, hk, hi,
+            n_nodes=cfg["uni_nodes"], has_moving=has_moving,
+            leaf_groups=cfg["uni_leaf_span"],
+        )
     if cfg["sph_mode"] == TR_BRUTE:
         ht, hk, hi = _brute_pass(
             PRIM_SPHERE, trace["s_tab"], origin, direction, tmin_tile, tm,
@@ -831,7 +928,7 @@ def _trace_values(cfg, trace, origin, direction, tmin_tile, tm, alive):
             trace["s_oi"],
             origin, direction, tmin_tile, tm, alive, ht, hk, hi,
             n_nodes=cfg["sph_nodes"], has_moving=has_moving,
-            leaf_groups=cfg["leaf_groups"],
+            leaf_groups=cfg["sph_leaf_span"],
         )
     if cfg["quad_mode"] == TR_BRUTE:
         ht, hk, hi = _brute_pass(
@@ -844,7 +941,7 @@ def _trace_values(cfg, trace, origin, direction, tmin_tile, tm, alive):
             trace["q_oi"],
             origin, direction, tmin_tile, None, alive, ht, hk, hi,
             n_nodes=cfg["quad_nodes"], has_moving=False,
-            leaf_groups=cfg["leaf_groups"],
+            leaf_groups=cfg["quad_leaf_span"],
         )
     return ht, hk, hi
 
@@ -890,9 +987,10 @@ def _bounce_core(
     g_row = uidx // LANE
     g_lane = uidx % LANE
 
-    # Split gather for big scenes: the 12 SHADING columns come from the
-    # deduplicated material table (usually one 128-lane chunk), so only the
-    # 7 geometry columns + _C_MATID pay the per-prim R-row-chunk price
+    # Split gather for big scenes: the 14 SHADING columns (SHADE_BLOCK)
+    # come from the deduplicated material table (usually one 128-lane
+    # chunk), so only the 7 geometry columns + _C_MATID pay the per-prim
+    # R-row-chunk price
     # (measured >50% of a big-scene fused bounce at 18 dense columns).
     # The image-UV geometry columns (7-14) are gathered lazily below, only
     # when some lane in the tile actually needs an atlas fetch.
@@ -1266,6 +1364,24 @@ def _scene_trace_inputs(scene: CompiledScene, cfg, ins, in_specs):
             cols.append(a.reshape(-1, 8, 1))
         return jnp.stack(cols)
 
+    if scene.has_uni_tree:
+        cfg["uni_mode"] = True
+        cfg["sph_mode"] = cfg["quad_mode"] = TR_NONE
+        s_tab, s_oi = grouped(scene.uni_sph_attrs)
+        q_tab, q_oi = grouped(scene.uni_quad_attrs)
+        ins += [
+            scene.uni_tree_box, scene.uni_tree_link,
+            s_tab, s_oi, q_tab, q_oi,
+        ]
+        in_specs += [
+            _smem_spec(scene.uni_tree_box.shape),
+            _smem_spec(scene.uni_tree_link.shape),
+            _const_spec(s_tab.shape), _const_spec(s_oi.shape),
+            _const_spec(q_tab.shape), _const_spec(q_oi.shape),
+        ]
+        return
+    cfg["uni_mode"] = False
+
     if scene.has_sph_tree:
         cfg["sph_mode"] = TR_TREE
         tab, oi = grouped(scene.sph_tree_attrs)
@@ -1329,7 +1445,10 @@ def _base_cfg(scene: CompiledScene, t_min, terminate_zero):
         "mat_rows": scene.mat_lut.shape[1],
         "light_params": scene.light_params,
         "background": scene.background_rgb,
-        "leaf_groups": _leaf_groups(),
+        "sph_leaf_span": scene.sph_leaf_span,
+        "quad_leaf_span": scene.quad_leaf_span,
+        "uni_leaf_span": scene.uni_leaf_span,
+        "uni_nodes": scene.uni_tree_box.shape[0],
         "sph_nodes": scene.sph_tree_box.shape[0],
         "quad_nodes": scene.quad_tree_box.shape[0],
         "needs_gauss": scene.needs_gauss,

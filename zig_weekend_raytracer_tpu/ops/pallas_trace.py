@@ -60,22 +60,29 @@ def _interpret() -> bool:
     return bool(os.environ.get("ZWRT_PALLAS_INTERPRET"))
 
 
-def _leaf_groups() -> int:
-    """Sublane groups (x8 prims) per tree leaf.  Fatter leaves cut traversal
-    steps (scalar-latency bound) at the price of culling granularity.  Must
-    match the value the scene was compiled with (scene.py reads this too).
+def pick_leaf_span(n_prims: int) -> int:
+    """Sublane groups (x8 prims) per tree leaf for a kind with ``n_prims``
+    primitives — chosen PER SCENE at compile and recorded on the
+    CompiledScene (sph_leaf_span / quad_leaf_span) so tree layout and
+    kernel traversal always agree.  ``ZWRT_LEAF_GROUPS`` overrides for
+    sweeps.
 
-    Default 32 (256 prims/leaf) from measured sweeps on one v5e at
-    400x400 — post-bounce wavefronts are divergent enough that
-    tile-lockstep culling is weak, so streaming fat VMEM leaves beats
-    extra tree steps until the tree stops pruning at all:
+    Fatter leaves cut traversal steps (scalar-latency bound) at the price
+    of culling granularity.  Round-2 sweeps (tile-lockstep leaves, one
+    v5e, 400x400):
       balls@128spp:     23.5 / 26.7 / 31.2 / 34.2 / 37.4 / 21.5 Mpaths/s
       rtw_final@64spp:   4.7 /  5.0 /  5.3 /  7.4* / 6.8* / —
-    for spans 4 / 8 / 16 / 32 / 64 / 128 (*with the atlas chain + quad
-    refactor; 16 measured 7.5 there — a tie).  balls peaks at 64 and
-    collapses at 128 (a single leaf = zero culling); 32 is the best
-    single default across scenes."""
-    return int(os.environ.get("ZWRT_LEAF_GROUPS", "32"))
+    for spans 4 / 8 / 16 / 32 / 64 / 128 — balls (488 prims) peaks at 64
+    and collapses at 128 (a single leaf = zero culling); rtw (1005 sph +
+    2401 quads) prefers 16-32.  (Round 3 also measured per-ROW leaf
+    masking, which shifts the optimum down — but masking itself was a
+    uniform loss and was reverted; sweep in BASELINE.md.)"""
+    env = os.environ.get("ZWRT_LEAF_GROUPS")
+    if env:
+        return int(env)
+    if n_prims <= 512:
+        return 64
+    return 32
 
 
 def _vmem_params():
@@ -422,7 +429,9 @@ def _tree_leaf(
 ):
     """Test the ``leaf_groups`` consecutive groups starting at ``g0`` against
     the whole tile.  Identity comes from the leaf-slot original-index tile,
-    so results refer to the unsorted primitive tables."""
+    so results refer to the unsorted primitive tables.  (Per-row masking of
+    the sweep was a measured NEGATIVE — see ops/pallas_bounce.py:_leaf_visit
+    and BASELINE.md.)"""
     def make_group(g):
         bc = lambda ref: _bcast(ref[g])
         if kind_code == PRIM_SPHERE:
@@ -568,7 +577,7 @@ def _quad_brute_stage(alive_tiles, tiles, seed, quad, *, n_quads):
 
 def _tree_stage(
     alive_tiles, tiles, seed, box, link, attrs, *,
-    kind_code, has_moving,
+    kind_code, has_moving, leaf_groups,
 ):
     g = alive_tiles.shape[0]
     n_nodes = box.shape[0]
@@ -592,7 +601,7 @@ def _tree_stage(
         functools.partial(
             _tree_kernel, kind_code=kind_code, n_nodes=n_nodes,
             has_moving=has_moving, seeded=seeded,
-            leaf_groups=_leaf_groups(),
+            leaf_groups=leaf_groups,
         ),
         grid_spec=pl.GridSpec(
             grid=(g,),
@@ -612,11 +621,13 @@ def _tree_stage(
     jax.jit,
     static_argnames=(
         "has_moving", "n_spheres", "n_quads", "use_sph_tree", "use_quad_tree",
+        "sph_span", "quad_span",
     ),
 )
 def _trace_call(
     alive, rays, sph, quad, sph_tree, quad_tree, *,
     has_moving, n_spheres, n_quads, use_sph_tree, use_quad_tree,
+    sph_span, quad_span,
 ):
     n = rays[0].shape[0]
     g = n // BLK
@@ -629,6 +640,7 @@ def _trace_call(
         t, kind, idx = _tree_stage(
             alive_tiles, tiles, None, box, link, attrs,
             kind_code=PRIM_SPHERE, has_moving=has_moving,
+            leaf_groups=sph_span,
         )
     else:
         t, kind, idx = _sphere_brute_stage(
@@ -643,6 +655,7 @@ def _trace_call(
             t, kind, idx = _tree_stage(
                 alive_tiles, tiles, (t, kind, idx), box, link, attrs,
                 kind_code=PRIM_QUAD, has_moving=False,
+                leaf_groups=quad_span,
             )
         else:
             t, kind, idx = _quad_brute_stage(
@@ -709,5 +722,6 @@ def closest_hit_pallas(
         has_moving=scene.has_moving,
         n_spheres=scene.n_spheres, n_quads=scene.n_quads,
         use_sph_tree=scene.has_sph_tree, use_quad_tree=scene.has_quad_tree,
+        sph_span=scene.sph_leaf_span, quad_span=scene.quad_leaf_span,
     )
     return t[:n], kind[:n], idx[:n]

@@ -70,7 +70,6 @@ class PathState(NamedTuple):
     radiance: V3
     alive: jnp.ndarray       # (N,) bool
     ray_id: jnp.ndarray      # (N,) u32 RNG content address (travels with ray)
-    slot: jnp.ndarray        # (N,) i32 original wavefront position
 
 
 class RegenState(NamedTuple):
@@ -218,39 +217,6 @@ def trace_paths_regen(
     return final.radiance
 
 
-def _compact(st: PathState) -> PathState:
-    """Stream compaction: permute live paths to the front of the wavefront.
-
-    Paths die in spatially coherent clusters (sky misses, absorbed regions),
-    so compaction turns them into all-dead tail tiles that the Pallas trace
-    kernel skips wholesale.  Pure data movement (cumsum + scatter) — the
-    estimator is untouched because radiance/RNG addresses travel with the
-    path and the final image is unpermuted through ``slot``.
-    """
-    alive_i = st.alive.astype(jnp.int32)
-    n_alive = jnp.sum(alive_i)
-    pos_alive = jnp.cumsum(alive_i) - 1
-    pos_dead = n_alive + jnp.cumsum(1 - alive_i) - 1
-    pos = jnp.where(st.alive, pos_alive, pos_dead)
-
-    def pv(x):
-        return jnp.zeros_like(x).at[pos].set(x)
-
-    def pv3(v: V3) -> V3:
-        return V3(pv(v.x), pv(v.y), pv(v.z))
-
-    return PathState(
-        origin=pv3(st.origin),
-        direction=pv3(st.direction),
-        time=pv(st.time),
-        throughput=pv3(st.throughput),
-        radiance=pv3(st.radiance),
-        alive=pv(st.alive),
-        ray_id=pv(st.ray_id),
-        slot=pv(st.slot),
-    )
-
-
 def trace_paths(
     scene: CompiledScene,
     origin: V3,
@@ -260,12 +226,13 @@ def trace_paths(
     ray_id: jnp.ndarray,     # (N,) u32 global ray ids
     max_depth: int,
     terminate_zero_throughput: bool = True,
-    # Stream compaction exists but is off: XLA scatter on TPU measured far
-    # slower than the dead-ray work it saves; the kernel's tile-skip handles
-    # spatially coherent death for free.
-    compact: bool = False,
 ) -> V3:
-    """Estimate radiance for a wavefront of rays.  Returns V3 of (N,)."""
+    """Estimate radiance for a wavefront of rays.  Returns V3 of (N,).
+
+    Stream compaction (permuting live paths to the wavefront front) was
+    prototyped in round 1 and REMOVED: XLA scatter on TPU measured far
+    slower than the dead-ray work it saves, and the Pallas kernels' scalar
+    tile-skip already retires spatially coherent dead tiles for free."""
     n = origin.shape[0]
     state = PathState(
         origin=origin,
@@ -275,7 +242,6 @@ def trace_paths(
         radiance=V3.zeros((n,), real),
         alive=jnp.ones((n,), bool),
         ray_id=ray_id,
-        slot=jnp.arange(n, dtype=jnp.int32),
     )
 
     from ..ops.trace import _use_pallas_backend
@@ -304,7 +270,7 @@ def trace_paths(
         return PathState(
             origin=origin, direction=direction, time=st.time,
             throughput=throughput, radiance=radiance, alive=alive,
-            ray_id=st.ray_id, slot=st.slot,
+            ray_id=st.ray_id,
         )
 
     def bounce(depth, st: PathState) -> PathState:
@@ -454,7 +420,7 @@ def trace_paths(
             )
             survives = survives & nonzero
 
-        out = PathState(
+        return PathState(
             origin=V3.where(hitmask, det.point, st.origin),
             direction=V3.where(hitmask, new_dir, st.direction),
             time=st.time,
@@ -462,11 +428,7 @@ def trace_paths(
             radiance=radiance,
             alive=survives,
             ray_id=st.ray_id,
-            slot=st.slot,
         )
-        if compact:
-            out = _compact(out)
-        return out
 
     # while_loop instead of fori_loop: the wavefront exits as soon as every
     # path has terminated (miss/emissive/absorption), which is typically far
@@ -481,14 +443,4 @@ def trace_paths(
         return depth + 1, bounce(depth, st)
 
     _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
-    if not compact:
-        return final.radiance
-
-    # unpermute radiance back to wavefront order
-    rad = final.radiance
-    z = jnp.zeros((n,), real)
-    return V3(
-        z.at[final.slot].set(rad.x),
-        z.at[final.slot].set(rad.y),
-        z.at[final.slot].set(rad.z),
-    )
+    return final.radiance

@@ -20,6 +20,7 @@ import dataclasses
 import functools
 import logging
 import os
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -162,7 +163,7 @@ def _render_band(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "band_rows", "s_par", "spp", "sample_limit",
+        "width", "height", "band_rows", "s_par", "spp",
         "max_depth", "sampler", "has_dof", "cam_consts", "want_work",
     ),
 )
@@ -177,7 +178,8 @@ def _render_band_regen(
     band_rows: int,
     s_par: int,             # samples in flight per pixel (slot parallelism)
     spp: int,               # TOTAL spp (sampler stratification geometry)
-    sample_limit: int,      # first sample index NOT rendered
+    sample_limit,           # first sample index NOT rendered (dynamic: the
+                            # sharded renderer passes a per-device value)
     max_depth: int,
     sampler: SamplerKind,
     has_dof: bool,
@@ -399,9 +401,16 @@ class Renderer:
     # Only applied to scenes WITHOUT group trees: tree traversal needs
     # spatially tight tile frusta, which cost-sorting destroys.
     # ZWRT_NO_SORT=1 disables.
-    _plan_cache: dict = dataclasses.field(
-        default_factory=dict, repr=False, compare=False
+    #
+    # Keyed on the CompiledScene OBJECT via a WeakKeyDictionary (not id():
+    # CPython recycles ids after GC, which could hand a new scene a stale
+    # cost map) mapping to a per-scene {config: entry} dict bounded at
+    # _plan_cache_max_configs (FIFO eviction).  Entries die with their scene.
+    _plan_cache: "weakref.WeakKeyDictionary" = dataclasses.field(
+        default_factory=lambda: weakref.WeakKeyDictionary(),
+        repr=False, compare=False,
     )
+    _plan_cache_max_configs: int = 8
 
     def regen_geometry(
         self, width: int, height: int, spp: int, image_scene: bool = False
@@ -431,7 +440,10 @@ class Renderer:
         """Two-pass profile-guided band render: estimation pass (first
         spp_est samples; its radiance counts toward the image) measures
         per-pixel cost, then the balanced plan renders the rest."""
-        spp_est = max(2, spp // 16)
+        # clamp to spp: with spp <= 2 the estimation pass IS the render
+        # (rendering sample indices >= spp would leave Sobol's strata and
+        # double-count radiance against the final /spp divide)
+        spp_est = min(spp, max(2, spp // 16))
         tile = pick_tile(width, band_rows)
         fb_est, work = _render_band_regen(
             scene.compiled, seed, jnp.int32(band_y0), jnp.int32(0),
@@ -474,11 +486,14 @@ class Renderer:
         10-bounce glass pixel into a tile of 2-bounce wall pixels idles 80%
         of the tile).  A pure pixel permutation: bit-identical radiance per
         pixel, any assignment order."""
+        scene_cache = self._plan_cache.get(scene.compiled)
+        if scene_cache is None:
+            scene_cache = self._plan_cache.setdefault(scene.compiled, {})
         key = (
-            id(scene.compiled), width, height, band_y0, spp,
+            width, height, band_y0, spp,
             self.max_ray_bounce_depth, self.sampler, self.seed,
         )
-        entry = self._plan_cache.get(key)
+        entry = scene_cache.get(key)
         if entry is None:
             fb, work = _render_band_regen(
                 scene.compiled, seed, jnp.int32(band_y0), jnp.int32(0),
@@ -489,7 +504,9 @@ class Renderer:
                 want_work=True,
             )
             # keep the cost map on device; converted lazily at plan build
-            self._plan_cache[key] = {"work": work}
+            while len(scene_cache) >= self._plan_cache_max_configs:
+                scene_cache.pop(next(iter(scene_cache)))
+            scene_cache[key] = {"work": work}
             return fb
         if "plan" not in entry:
             from ..ops.pallas_trace import BLK
@@ -547,7 +564,13 @@ class Renderer:
                 "Non power of two samples per pixel will perform poorly "
                 "with sobol sampling: %d", spp,
             )  # parity: src/math/sampler.zig:184-186
-        assert width * height * spp < 2**32, "ray id space exceeds u32"
+        if width * height * spp >= 2**32:
+            # a survivable config error, not an invariant — must hold under
+            # python -O too (the u32 ray id is the RNG content address)
+            raise ValueError(
+                f"ray id space {width}x{height}x{spp} exceeds u32; reduce "
+                "spp or render progressively (render/progressive.py)"
+            )
 
         cam = camera_params(scene.camera, width, height)
         has_dof = scene.camera.has_depth_of_field

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import math as _math
+import os
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
@@ -192,6 +193,8 @@ _ARRAY_FIELDS = [
     # per-kind group trees for the Pallas traversal kernels
     "sph_tree_box", "sph_tree_link", "sph_tree_attrs",
     "quad_tree_box", "quad_tree_link", "quad_tree_attrs",
+    # unified (both-kind) group tree for the bounce megakernel
+    "uni_tree_box", "uni_tree_link", "uni_sph_attrs", "uni_quad_attrs",
     # linearized BVH (over unified prim list); degenerate when not built
     "bvh_min", "bvh_max", "bvh_miss", "bvh_leaf_start", "bvh_leaf_count",
     "bvh_prim_kind", "bvh_prim_idx",
@@ -202,14 +205,20 @@ _STATIC_FIELDS = [
     "has_moving", "has_bvh", "max_leaf_size", "has_image_textures",
     "lights", "has_sph_tree", "has_quad_tree",
     "background_rgb", "light_params", "has_emissive_image", "image_dims",
-    "needs_gauss", "has_nested_checker",
+    "needs_gauss", "has_nested_checker", "sph_leaf_span", "quad_leaf_span",
+    "has_uni_tree", "uni_leaf_span",
 ]
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class CompiledScene:
     """SoA scene tables.  Array fields are pytree leaves; counts and feature
-    flags are static (they select the compiled XLA program)."""
+    flags are static (they select the compiled XLA program).
+
+    ``eq=False``: identity semantics (and the inherited identity hash) —
+    a generated field-wise __eq__/__hash__ over jax arrays would be
+    unhashable, and the renderer's plan cache keys scenes weakly by
+    object identity (render/renderer.py:_plan_cache)."""
 
     # spheres (padded to >=1; dummy entries can never be hit); V3 fields are
     # SoA component triples of (S,) arrays (see math/v3.py).
@@ -259,8 +268,8 @@ class CompiledScene:
     # the Pallas bounce kernel can gather a record per lane with R row
     # selects + one lane shuffle per column (see ops/pallas_bounce.py)
     shade_lut: jnp.ndarray
-    # (12, R_m, 128) f32 deduplicated shading records (columns
-    # _C_MAT.._C_REFRACT of shade_rows, unique rows); per-prim _C_MATID in
+    # (SHADE_BLOCK=14, R_m, 128) f32 deduplicated shading records (columns
+    # _C_MAT.._C_TEXID of shade_rows, unique rows); per-prim _C_MATID in
     # shade_lut indexes into it.  Lets big scenes fetch shading at the
     # material count's price instead of the primitive count's.
     mat_lut: jnp.ndarray
@@ -277,6 +286,14 @@ class CompiledScene:
     quad_tree_box: jnp.ndarray
     quad_tree_link: jnp.ndarray
     quad_tree_attrs: tuple
+    # Unified spatial tree over BOTH kinds with kind-pure leaves
+    # (geometry/bvh.py:build_group_tree_unified), walked by the bounce
+    # megakernel when has_uni_tree — one traversal per bounce instead of
+    # two.  ``uni_tree_link`` is (n, 3) i32 [miss, leaf group, leaf kind].
+    uni_tree_box: jnp.ndarray
+    uni_tree_link: jnp.ndarray
+    uni_sph_attrs: tuple
+    uni_quad_attrs: tuple
     # BVH
     bvh_min: V3
     bvh_max: V3
@@ -314,6 +331,15 @@ class CompiledScene:
     # checker-in-checker nesting: records can't flatten it; the XLA
     # integrator falls back to the general texture walk for such scenes
     has_nested_checker: bool = False
+    # Per-kind group-tree leaf spans in sublane groups (x8 prims), chosen
+    # per scene at compile (ops/pallas_trace.py:pick_leaf_span); the kernels
+    # read these so tree layout and traversal always agree.
+    sph_leaf_span: int = 32
+    quad_leaf_span: int = 32
+    # Unified tree (built when both kinds have trees; ZWRT_NO_UNI_TREE=1
+    # falls back to the two per-kind walks)
+    has_uni_tree: bool = False
+    uni_leaf_span: int = 32
     # static (width, height) per atlas image: lets texture lookups compute
     # flat gather indices with compile-time strides (a single 1D gather is
     # ~8x cheaper than 3D fancy indexing on TPU)
@@ -855,9 +881,10 @@ def _compile_tables(
 
     # Deduplicated material table: primitives vastly outnumber distinct
     # shading records (rtw_final: 3406 prims, ~9 records), so the bounce
-    # kernel fetches the 12 shading columns from this small table (usually
-    # one 128-lane chunk) and pays the per-prim R-row-chunk gather price
-    # only for the 7 geometry columns + the material id (_C_MATID).
+    # kernel fetches the SHADE_BLOCK (14) shading columns from this small
+    # table (usually one 128-lane chunk) and pays the per-prim R-row-chunk
+    # gather price only for the 7 geometry columns + the material id
+    # (_C_MATID).
     from .ops.shade import _C_MAT as _CM, _C_MATID as _CMI
 
     _mat_block = shade_rows[:, _CM : _CM + _SB]
@@ -931,7 +958,7 @@ def _compile_tables(
     # Built whenever a BVH is requested and the kind has enough primitives
     # for traversal to beat the streaming brute kernel.
     from .geometry import bvh as _bvh
-    from .ops.pallas_trace import _leaf_groups as _plg
+    from .ops.pallas_trace import pick_leaf_span
 
     def _pad_thin(lo, hi, delta=1e-4):
         """Degenerate-axis padding (reference: src/math/aabb.zig:103-122)."""
@@ -953,10 +980,12 @@ def _compile_tables(
         out.append(jnp.asarray(np.where(padm, 0, slots).astype(_I)))
         return tuple(out)
 
+    sph_leaf_span = pick_leaf_span(n_s)
+    quad_leaf_span = pick_leaf_span(n_q)
     has_sph_tree = build_bvh and n_s >= TREE_MIN_PRIMS
     if has_sph_tree:
         lo, hi = _pad_thin(sph_lo.astype(np.float64), sph_hi.astype(np.float64))
-        tr = _bvh.build_group_tree(lo, hi, leaf_groups=_plg())
+        tr = _bvh.build_group_tree(lo, hi, leaf_groups=sph_leaf_span)
         sph_tree_box = jnp.asarray(tr["node_box"])
         sph_tree_link = jnp.asarray(tr["node_link"])
         sph_tree_attrs = _leaf_attrs(
@@ -988,7 +1017,7 @@ def _compile_tables(
     has_quad_tree = build_bvh and n_q >= TREE_MIN_PRIMS
     if has_quad_tree:
         lo, hi = _pad_thin(quad_lo.astype(np.float64), quad_hi.astype(np.float64))
-        tr = _bvh.build_group_tree(lo, hi, leaf_groups=_plg())
+        tr = _bvh.build_group_tree(lo, hi, leaf_groups=quad_leaf_span)
         quad_tree_box = jnp.asarray(tr["node_box"])
         quad_tree_link = jnp.asarray(tr["node_link"])
         quad_tree_attrs = _leaf_attrs(
@@ -1010,6 +1039,67 @@ def _compile_tables(
         quad_tree_box = jnp.zeros((1, 6), real_np)
         quad_tree_link = jnp.zeros((1, 2), _I)
         quad_tree_attrs = ()
+
+    # -- unified (both-kind) tree for the bounce megakernel ----------------
+    # One spatial walk instead of two sequential per-kind walks.  Measured
+    # NEGATIVE on one v5e (rtw_final 64spp d8: 6.1 Mpaths/s unified vs 7.5
+    # per-kind, identical image) — the per-leaf kind `lax.cond` prices a
+    # second scalar branch per leaf visit, and tile-lockstep walks visit
+    # the union of both kinds' neighborhoods anyway, so the saved
+    # root-to-miss overhead never materializes.  Kept behind ZWRT_UNI_TREE=1
+    # for sweeps; see BASELINE.md round-3 traversal experiments.
+    has_uni_tree = (
+        has_sph_tree and has_quad_tree
+        and bool(os.environ.get("ZWRT_UNI_TREE"))
+    )
+    uni_leaf_span = pick_leaf_span(n_s + n_q)
+    if has_uni_tree:
+        lo_s, hi_s = _pad_thin(
+            sph_lo.astype(np.float64), sph_hi.astype(np.float64)
+        )
+        lo_q, hi_q = _pad_thin(
+            quad_lo.astype(np.float64), quad_hi.astype(np.float64)
+        )
+        tr = _bvh.build_group_tree_unified(
+            np.concatenate([lo_s, lo_q]),
+            np.concatenate([hi_s, hi_q]),
+            np.concatenate(
+                [np.zeros(n_s, np.int32), np.ones(n_q, np.int32)]
+            ),
+            np.concatenate(
+                [np.arange(n_s, dtype=np.int32),
+                 np.arange(n_q, dtype=np.int32)]
+            ),
+            leaf_groups=uni_leaf_span,
+        )
+        uni_tree_box = jnp.asarray(tr["node_box"])
+        uni_tree_link = jnp.asarray(tr["node_link"])
+        uni_sph_attrs = _leaf_attrs(
+            tr["sph_slots"],
+            [
+                (sph_center[:n_s, 0], 1e30), (sph_center[:n_s, 1], 1e30),
+                (sph_center[:n_s, 2], 1e30), (sph_radius[:n_s] ** 2, 0.0),
+                (sph_move[:n_s, 0], 0.0), (sph_move[:n_s, 1], 0.0),
+                (sph_move[:n_s, 2], 0.0),
+            ],
+        )
+        uni_quad_attrs = _leaf_attrs(
+            tr["quad_slots"],
+            [
+                (quad_start[:n_q, 0], 0.0), (quad_start[:n_q, 1], 0.0),
+                (quad_start[:n_q, 2], 0.0),
+                (quad_normal[:n_q, 0], 0.0), (quad_normal[:n_q, 1], 0.0),
+                (quad_normal[:n_q, 2], 0.0),
+                (_qA[:, 0], 0.0), (_qA[:, 1], 0.0), (_qA[:, 2], 0.0),
+                (_qB[:, 0], 0.0), (_qB[:, 1], 0.0), (_qB[:, 2], 0.0),
+                (quad_offset[:n_q], 0.0),
+            ],
+        )
+    else:
+        uni_tree_box = jnp.zeros((1, 6), real_np)
+        uni_tree_link = jnp.zeros((1, 3), _I)
+        uni_sph_attrs = ()
+        uni_quad_attrs = ()
 
     # BVH (built lazily in geometry.bvh; degenerate placeholder otherwise)
 
@@ -1067,6 +1157,10 @@ def _compile_tables(
         quad_tree_box=quad_tree_box,
         quad_tree_link=quad_tree_link,
         quad_tree_attrs=quad_tree_attrs,
+        uni_tree_box=uni_tree_box,
+        uni_tree_link=uni_tree_link,
+        uni_sph_attrs=uni_sph_attrs,
+        uni_quad_attrs=uni_quad_attrs,
         bvh_min=_v3c(bvh_arrays["bvh_min"]),
         bvh_max=_v3c(bvh_arrays["bvh_max"]),
         bvh_miss=jnp.asarray(bvh_arrays["bvh_miss"]),
@@ -1090,6 +1184,10 @@ def _compile_tables(
         lights=lights,
         has_sph_tree=has_sph_tree,
         has_quad_tree=has_quad_tree,
+        sph_leaf_span=sph_leaf_span,
+        quad_leaf_span=quad_leaf_span,
+        has_uni_tree=has_uni_tree,
+        uni_leaf_span=uni_leaf_span,
         background_rgb=tuple(float(v) for v in background),
         light_params=light_params,
         has_emissive_image=any(
