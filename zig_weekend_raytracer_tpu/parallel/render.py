@@ -5,15 +5,17 @@ Because all randomness is content-addressed by global ray id
 single-device render — this is verified by the chip-count-invariance tests
 (tests/test_parallel.py), the distributed analog of golden-image testing.
 
-Each device reuses the single-chip (row-band x sample-chunk) wavefront
-machinery (``render.renderer._render_band``) inside its shard, so per-chip
-transient HBM is bounded by ``max_rays_per_chunk`` exactly like the
-single-chip path — a 400x400 @1000spp render sharded 8 ways never
-materializes more than one chunk of rays per chip.  Neither ``spp`` nor
-``height`` needs to divide the device count: shards are padded and the
-padded samples/rows are masked out (samples) or sliced off (rows), the
-multi-chip analog of the reference's arbitrary work decomposition
-(src/render.zig:55-73).
+Each device runs the PRODUCTION single-chip path inside its shard: the
+regenerating-wavefront megakernel (``renderer._render_band_regen`` →
+``ops/pallas_bounce.py``) when the Pallas backend supports the scene, and
+the portable per-bounce pipeline (``renderer._render_band``) otherwise
+(CPU runs, emissive-image / nested-checker scenes).  Per-chip transient
+HBM is bounded exactly like the single-chip path — a 400x400 @1000spp
+render sharded 8 ways never materializes more than one band of rays per
+chip.  Neither ``spp`` nor ``height`` needs to divide the device count:
+shards are padded and the padded samples/rows are masked out (samples) or
+sliced off (rows), the multi-chip analog of the reference's arbitrary work
+decomposition (src/render.zig:55-73).
 """
 
 from __future__ import annotations
@@ -25,8 +27,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..dtypes import real
-from ..render.camera import camera_params
-from ..render.renderer import Renderer, _render_band
+from ..render.camera import camera_consts, camera_params
+from ..render.renderer import Renderer, _render_band, _render_band_regen
 from ..sampling.sampler import SamplerKind
 from ..scene import Scene
 from .mesh import AXIS
@@ -34,6 +36,13 @@ from .mesh import AXIS
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def _use_production_path(scene: Scene) -> bool:
+    from ..ops.pallas_bounce import supports_bounce_kernel
+    from ..ops.trace import _use_pallas_backend
+
+    return _use_pallas_backend() and supports_bounce_kernel(scene.compiled)
 
 
 def render_sharded(
@@ -63,20 +72,56 @@ def render_sharded(
         mesh = make_mesh()
     n_dev = mesh.devices.size
     compiled = scene.compiled
-    cam = camera_params(scene.camera, width, height)
     has_dof = scene.camera.has_depth_of_field
     seed_arr = jnp.uint32(seed)
     spp = samples_per_pixel
 
     # Per-device chunk geometry (identical on every device; static).
     chunker = Renderer(
-        samples_per_pixel=spp, max_rays_per_chunk=max_rays_per_chunk
+        samples_per_pixel=spp, max_rays_per_chunk=max_rays_per_chunk,
+        max_ray_bounce_depth=max_depth, sampler=sampler,
     )
+    production = _use_production_path(scene)
+    cam = camera_params(scene.camera, width, height)
+    cam_c = camera_consts(scene.camera, width, height)
 
     if shard == "samples":
         # Pad the sample axis: devices own ceil(spp / n_dev) sample indices
-        # each; indices >= spp are masked to zero inside _render_band.
+        # each; indices >= spp never render (regen: per-lane limit; band:
+        # masked to zero inside _render_band).
         spp_local = _cdiv(spp, n_dev)
+
+        if production:
+            s_par, band_rows = chunker.regen_geometry(
+                width, height, spp_local
+            )
+            n_bands = _cdiv(height, band_rows)
+            h_pad = n_bands * band_rows
+
+            def worker(compiled, seed):
+                di = jax.lax.axis_index(AXIS)
+                s0 = (di * spp_local).astype(jnp.int32)
+                limit = jnp.minimum(jnp.int32(spp), s0 + spp_local)
+                fb = jnp.zeros((h_pad, width, 3), real)
+                for b in range(n_bands):
+                    out = _render_band_regen(
+                        compiled, seed, jnp.int32(b * band_rows), s0,
+                        width=width, height=height, band_rows=band_rows,
+                        s_par=s_par, spp=spp, sample_limit=limit,
+                        max_depth=max_depth, sampler=sampler,
+                        has_dof=has_dof, cam_consts=cam_c,
+                    )
+                    fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
+                return jax.lax.psum(fb[:height], AXIS) / real(spp)
+
+            fn = jax.jit(
+                jax.shard_map(
+                    worker, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+                    check_vma=False,
+                )
+            )
+            return fn(compiled, seed_arr)
+
         spp_chunk, band_rows = chunker.chunk_geometry(
             scene, width, height, spp_local
         )
@@ -113,6 +158,37 @@ def render_sharded(
         # Pad the row axis: devices own ceil(height / n_dev) rows each;
         # ray_grid clamps padded rows and the result is sliced to height.
         rows_local = _cdiv(height, n_dev)
+
+        if production:
+            s_par, band_rows = chunker.regen_geometry(width, rows_local, spp)
+            band_rows = min(band_rows, rows_local)
+            n_bands = _cdiv(rows_local, band_rows)
+            rows_pad = n_bands * band_rows
+
+            def worker(compiled, seed):
+                di = jax.lax.axis_index(AXIS)
+                y0_base = (di * rows_local).astype(jnp.int32)
+                fb = jnp.zeros((rows_pad, width, 3), real)
+                for b in range(n_bands):
+                    out = _render_band_regen(
+                        compiled, seed,
+                        y0_base + jnp.int32(b * band_rows), jnp.int32(0),
+                        width=width, height=height, band_rows=band_rows,
+                        s_par=s_par, spp=spp, sample_limit=jnp.int32(spp),
+                        max_depth=max_depth, sampler=sampler,
+                        has_dof=has_dof, cam_consts=cam_c,
+                    )
+                    fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
+                return fb[:rows_local] / real(spp)
+
+            fn = jax.jit(
+                jax.shard_map(
+                    worker, mesh=mesh, in_specs=(P(), P()),
+                    out_specs=P(AXIS), check_vma=False,
+                )
+            )
+            return fn(compiled, seed_arr)[:height]
+
         spp_chunk, band_rows = chunker.chunk_geometry(
             scene, width, rows_local, spp
         )
