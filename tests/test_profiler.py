@@ -66,3 +66,58 @@ def test_cli_profile_flag_prints_table(tmp_path, capsys):
     captured = capsys.readouterr().out
     assert "Renderer::render" in captured
     assert "count" in captured
+
+
+def test_parse_device_trace_aggregates_device_pids(tmp_path):
+    """parse_device_trace sums X-event durations on device timelines only
+    and maps op names onto the reference's zone vocabulary."""
+    import gzip
+    import json
+    import os
+
+    trace = {
+        "traceEvents": [
+            {"ph": "M", "pid": 1, "name": "process_name",
+             "args": {"name": "/host:CPU"}},
+            {"ph": "M", "pid": 2, "name": "process_name",
+             "args": {"name": "/device:TPU:0"}},
+            {"ph": "X", "pid": 1, "tid": 0, "ts": 0, "dur": 5000,
+             "name": "host_thing"},
+            {"ph": "X", "pid": 2, "tid": 0, "ts": 0, "dur": 2000,
+             "name": "jit__fused/pallas_call.bounce_kernel"},
+            {"ph": "X", "pid": 2, "tid": 0, "ts": 3000, "dur": 1000,
+             "name": "jit__fused/pallas_call.bounce_kernel"},
+            {"ph": "X", "pid": 2, "tid": 0, "ts": 5000, "dur": 500,
+             "name": "atlas_gather.1"},
+        ]
+    }
+    d = tmp_path / "plugins" / "profile" / "run1"
+    os.makedirs(d)
+    with gzip.open(d / "x.trace.json.gz", "wt") as f:
+        json.dump(trace, f)
+
+    agg = profiler.parse_device_trace(str(tmp_path))
+    bounce = agg["rayColor (bounce megakernel)"]
+    assert bounce == (2, 3.0)  # 3000 us -> 3 ms, host event excluded
+    atlas = agg["ImageTexture::value (atlas pass)"]
+    assert atlas == (1, 0.5)
+    table = profiler.format_device_summary(agg)
+    assert "rayColor (bounce megakernel)" in table
+    assert "TOTAL" in table
+
+
+def test_cli_profile_device_runs(tmp_path, capsys):
+    """--profile=device captures a trace around the render and prints the
+    device table (empty-on-CPU message is acceptable — CPU traces carry no
+    device timeline)."""
+    from zig_weekend_raytracer_tpu.cli import main
+
+    out_path = tmp_path / "p.ppm"
+    rc = main([
+        "--image_width=8", "--image_height=8", "--samples_per_pixel=1",
+        "--ray_bounce_max_depth=2", "--scene=cornell_box",
+        f"--image_out_path={out_path}", "--profile=device",
+    ])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert ("device zone" in captured) or ("no device trace" in captured)

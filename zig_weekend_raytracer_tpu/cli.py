@@ -37,9 +37,12 @@ class UserArgs:
     seed: int = 0
     asset_dir: str = DEFAULT_ASSET_DIR
     shard: str = "none"  # none | samples | rows  (multi-chip)
-    # print a Tracy-lite per-zone wall-clock table after the render
-    # (host-side stats; ZWRT_PROFILE=1 enables the same accumulation)
-    profile: bool = False
+    # Tracy-lite zone tables after the render:
+    #   --profile / --profile=host    host wall-clock per named_zone
+    #   --profile=device              per-kernel DEVICE ms from a
+    #                                 jax.profiler capture (no viewer)
+    # ZWRT_PROFILE=1 enables the host accumulation too.
+    profile: str = "off"
 
 
 def parse_user_args(argv) -> UserArgs:
@@ -67,7 +70,14 @@ def main(argv=None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
 
-    if args.profile:
+    profile_mode = args.profile.lower()
+    if profile_mode in ("true", "1", "on"):  # legacy bool spelling
+        profile_mode = "host"
+    if profile_mode not in ("off", "false", "0", "host", "device"):
+        print(f"error: unknown --profile mode {args.profile!r} "
+              "(off | host | device)", file=sys.stderr)
+        return 1
+    if profile_mode == "host":
         from .utils.profiler import set_profiling
 
         set_profiling(True)
@@ -75,25 +85,34 @@ def main(argv=None) -> int:
     scene = load_scene(args.scene, seed=args.seed, asset_dir=args.asset_dir)
     timer.log_info_elapsed("scene initialized")
 
-    if args.shard != "none":
-        from .parallel import render_sharded
+    def do_render():
+        if args.shard != "none":
+            from .parallel import render_sharded
 
-        fb = render_sharded(
-            scene, args.image_width, args.image_height,
-            args.samples_per_pixel, args.ray_bounce_max_depth,
-            sampler=args.sampler, shard=args.shard, seed=args.seed,
-        )
-        import numpy as np
+            fb = render_sharded(
+                scene, args.image_width, args.image_height,
+                args.samples_per_pixel, args.ray_bounce_max_depth,
+                sampler=args.sampler, shard=args.shard, seed=args.seed,
+            )
+            import numpy as np
 
-        fb = np.asarray(fb)
-    else:
+            return np.asarray(fb)
         renderer = Renderer(
             samples_per_pixel=args.samples_per_pixel,
             max_ray_bounce_depth=args.ray_bounce_max_depth,
             sampler=args.sampler,
             seed=args.seed,
         )
-        fb = renderer.render(scene, args.image_width, args.image_height)
+        return renderer.render(scene, args.image_width, args.image_height)
+
+    device_table = None
+    if profile_mode == "device":
+        from .utils.profiler import format_device_summary, run_with_device_trace
+
+        fb, agg = run_with_device_trace(do_render)
+        device_table = format_device_summary(agg)
+    else:
+        fb = do_render()
     timer.log_info_elapsed("scene rendered")
 
     write_ppm(args.image_out_path, fb, n_threads=args.thread_pool_size)
@@ -103,6 +122,8 @@ def main(argv=None) -> int:
 
     if profiling_enabled():
         print(format_zone_summary())
+    if device_table is not None:
+        print(device_table)
     return 0
 
 

@@ -100,3 +100,110 @@ def trace_to(log_dir: str):
     Tracy viewer."""
     with jax.profiler.trace(log_dir):
         yield
+
+
+# ---------------------------------------------------------------------------
+# Device-time zone table (--profile=device): per-kernel DEVICE milliseconds
+# from a jax.profiler trace, printed without a viewer — the piece of Tracy
+# the host-side table can't give (host wall-clock only sees dispatch time
+# for async device work).
+# ---------------------------------------------------------------------------
+
+# map raw device op names onto the zone vocabulary the reference uses
+_DEVICE_ZONE_PATTERNS = (
+    ("bounce", "rayColor (bounce megakernel)"),
+    ("fused_render", "rayColorLine (whole-render megakernel)"),
+    ("tree", "BVH::hit (tree traversal kernel)"),
+    ("sphere", "Sphere::hit (trace kernel)"),
+    ("quad", "Quad::hit (trace kernel)"),
+    ("atlas", "ImageTexture::value (atlas pass)"),
+    ("gather", "ImageTexture::value (atlas pass)"),
+    ("while", "render loop"),
+    ("copy", "memcpy"),
+    ("fusion", "XLA fusion"),
+)
+
+
+def _zone_for(op_name: str) -> str:
+    low = op_name.lower()
+    for pat, zone in _DEVICE_ZONE_PATTERNS:
+        if pat in low:
+            return zone
+    return op_name.split(".")[0][:48] or "(unnamed)"
+
+
+def parse_device_trace(log_dir: str) -> dict:
+    """Aggregate DEVICE-side op durations from a ``jax.profiler.trace``
+    capture: {zone: (count, total_ms)}.  Parses the Perfetto/Chrome trace
+    JSON the profiler writes (no TensorBoard needed)."""
+    import glob
+    import gzip
+    import json
+
+    paths = glob.glob(
+        os.path.join(log_dir, "**", "*.trace.json.gz"), recursive=True
+    ) + glob.glob(os.path.join(log_dir, "**", "*.trace.json"), recursive=True)
+    agg: dict = {}
+    for path in paths:
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as f:
+            data = json.load(f)
+        events = data.get("traceEvents", [])
+        # pid -> process name (device timelines contain "TPU"/"device")
+        pid_name = {}
+        for ev in events:
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                pid_name[ev.get("pid")] = ev.get("args", {}).get("name", "")
+        device_pids = {
+            pid for pid, name in pid_name.items()
+            if any(s in name for s in ("TPU", "device", "Device", "/device"))
+            and "Host" not in name
+        }
+        for ev in events:
+            if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
+                continue
+            dur_us = ev.get("dur")
+            if not dur_us:
+                continue
+            zone = _zone_for(str(ev.get("name", "")))
+            z = agg.setdefault(zone, [0, 0.0])
+            z[0] += 1
+            z[1] += dur_us / 1e3
+    return {k: tuple(v) for k, v in agg.items()}
+
+
+def format_device_summary(agg: dict) -> str:
+    """Per-zone device-time table (sorted by total device ms)."""
+    if not agg:
+        return (
+            "no device trace events captured (CPU backend traces carry no "
+            "device timeline; run on TPU hardware)"
+        )
+    rows = sorted(agg.items(), key=lambda kv: -kv[1][1])
+    name_w = max(4, max(len(k) for k, _ in rows))
+    total = sum(v[1] for v in agg.values())
+    lines = [
+        f"{'device zone':<{name_w}}  {'count':>7}  {'total':>10}  {'share':>6}"
+    ]
+    for name, (n, ms) in rows:
+        lines.append(
+            f"{name:<{name_w}}  {n:>7}  {ms:>8.2f}ms  {ms / total:>5.1%}"
+        )
+    lines.append(f"{'TOTAL':<{name_w}}  {'':>7}  {total:>8.2f}ms")
+    return "\n".join(lines)
+
+
+def run_with_device_trace(fn):
+    """Run ``fn()`` under a device trace capture; returns
+    (result, {zone: (count, total_ms)}).  The capture directory is
+    temporary — use trace_to() to keep a viewable trace."""
+    import shutil
+    import tempfile
+
+    log_dir = tempfile.mkdtemp(prefix="zwrt_trace_")
+    try:
+        with jax.profiler.trace(log_dir):
+            result = fn()
+        return result, parse_device_trace(log_dir)
+    finally:
+        shutil.rmtree(log_dir, ignore_errors=True)
