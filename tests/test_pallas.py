@@ -303,3 +303,20 @@ def test_atlas_chain_kernel_matches_xla(pallas_interpret):
     # the chain reassociates the tex-factor multiplies (segment sums scaled
     # afterwards), so allow a few ULP beyond the usual bitwise match
     np.testing.assert_allclose(fb_kernel, fb_ref, rtol=3e-5, atol=3e-6)
+
+    # the driver's COMPACTED chain fold (integrator.py, opt-in via
+    # ZWRT_CHAIN_CAP_DIV — measured slower, default off) must agree with
+    # the default full-wavefront fold up to reassociation (compaction
+    # sums the K slot contributions before the scatter-add).  div=1 makes
+    # cap = nn so the compact branch is always taken; clear_caches so the
+    # same shape retraces with the flag applied.
+    import jax
+
+    os.environ["ZWRT_CHAIN_CAP_DIV"] = "1"
+    jax.clear_caches()
+    try:
+        fb_compact = r.render(scene, 16, 16)
+    finally:
+        del os.environ["ZWRT_CHAIN_CAP_DIV"]
+        jax.clear_caches()
+    np.testing.assert_allclose(fb_kernel, fb_compact, rtol=2e-6, atol=1e-7)

@@ -33,6 +33,7 @@ NaNs (which the writer scrubs to black anyway, src/writer/writer.zig:83-94).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -126,6 +127,7 @@ def trace_paths_regen(
         render_fused,
         supports_fused_render,
     )
+    from ..ops.pallas_trace import BLK
 
     if supports_fused_render(scene):
         return render_fused(
@@ -177,33 +179,106 @@ def trace_paths_regen(
             # chain boundaries (ops/pallas_bounce.py regen loop).
             nn = io.shape[0]
             one = V3.full((nn,), 1.0, 1.0, 1.0, real)
-            factor = one
             if chain is not None:
                 segs, bufu, bufv, bufi = chain
-                for k in range(len(bufi)):
-                    bi = bufi[k]
+                # Driver-side COMPACTION: measured NEGATIVE (round 3),
+                # default OFF (ZWRT_CHAIN_CAP_DIV > 0 enables for A/B).
+                # Device profiling put the chain resolution at ~35% of
+                # rtw_final's render (469 ms = 29 launches x 12 slot conds,
+                # each a full-wavefront atlas gather + fold), and only
+                # ~3-24% of lanes hold events — but compacting to event
+                # lanes (jnp.nonzero + gather, fold in compact space,
+                # scatter back; OOB fill indices make gathers clamp and
+                # scatters drop) must gather ~6K chain arrays per launch:
+                # at cap = nn/4 that is ~19 nn gather elements against the
+                # 12 nn it saves.  Measured: rtw_final 1.357 s -> 1.869 s.
+                # The fold below therefore stays full-wavefront; the win
+                # would need the KERNEL to emit packed chain state (fewer
+                # arrays to gather), not driver-side shuffling.
+                has_ev = (bufi[0] != -1) | (io >= 0)
+                cnt = jnp.sum(has_ev.astype(jnp.int32))
+                div = int(os.environ.get("ZWRT_CHAIN_CAP_DIV", "0"))
+                cap = max(BLK, nn // div) if div > 0 else 0
 
-                    # slots empty across the whole wavefront (the common
-                    # case for high k once the render tail thins) skip
-                    # their full-wavefront atlas gather entirely
-                    def _apply(args, k=k, bi=bi):
-                        factor, radiance = args
-                        col = atlas_lookup(
-                            scene, jnp.maximum(bi, 0), bufu[k], bufv[k]
-                        )
-                        factor = V3.where(
-                            bi == -2, one,
-                            V3.where(bi >= 0, factor * col, factor),
-                        )
-                        return factor, radiance + segs[k] * factor
+                def _fold(bi_l, bu_l, bv_l, sg_l, io_l, u_l, v_l):
+                    """Walk the K slots in order over arrays of size m;
+                    returns (factor, radiance delta)."""
+                    m = io_l.shape[0]
+                    onem = V3.full((m,), 1.0, 1.0, 1.0, real)
+                    factor = onem
+                    rad = V3.zeros((m,), real)
+                    for k in range(len(bi_l)):
+                        bi = bi_l[k]
 
-                    factor, radiance = jax.lax.cond(
-                        jnp.any(bi != -1), _apply, lambda a: a,
-                        (factor, radiance),
+                        # slots empty across the whole wavefront (the
+                        # common case for high k once the render tail
+                        # thins) skip their atlas gather entirely
+                        def _apply(args, k=k, bi=bi):
+                            factor, rad = args
+                            col = atlas_lookup(
+                                scene, jnp.maximum(bi, 0), bu_l[k], bv_l[k]
+                            )
+                            factor = V3.where(
+                                bi == -2, onem,
+                                V3.where(bi >= 0, factor * col, factor),
+                            )
+                            return factor, rad + sg_l[k] * factor
+
+                        factor, rad = jax.lax.cond(
+                            jnp.any(bi != -1), _apply, lambda a: a,
+                            (factor, rad),
+                        )
+                    img_rgb = atlas_lookup(
+                        scene, jnp.maximum(io_l, 0), u_l, v_l
                     )
-            img_rgb = atlas_lookup(scene, jnp.maximum(io, 0), u, v)
-            factor = V3.where(io >= 0, factor * img_rgb, factor)
-            throughput = throughput * factor
+                    factor = V3.where(io_l >= 0, factor * img_rgb, factor)
+                    return factor, rad
+
+                def _compact_branch(args):
+                    throughput, radiance = args
+                    idx = jnp.nonzero(has_ev, size=cap, fill_value=nn)[0]
+                    fac_c, rad_c = _fold(
+                        [b[idx] for b in bufi],
+                        [b[idx] for b in bufu],
+                        [b[idx] for b in bufv],
+                        [V3(s.x[idx], s.y[idx], s.z[idx]) for s in segs],
+                        io[idx], u[idx], v[idx],
+                    )
+                    # OOB idx rows are dropped by the scatters
+                    radiance = V3(
+                        radiance.x.at[idx].add(rad_c.x),
+                        radiance.y.at[idx].add(rad_c.y),
+                        radiance.z.at[idx].add(rad_c.z),
+                    )
+                    throughput = V3(
+                        throughput.x.at[idx].mul(fac_c.x),
+                        throughput.y.at[idx].mul(fac_c.y),
+                        throughput.z.at[idx].mul(fac_c.z),
+                    )
+                    return throughput, radiance
+
+                def _full_branch(args):
+                    throughput, radiance = args
+                    factor, rad = _fold(bufi, bufu, bufv, segs, io, u, v)
+                    return throughput * factor, radiance + rad
+
+                if cap:
+                    throughput, radiance = jax.lax.cond(
+                        cnt <= cap, _compact_branch, _full_branch,
+                        (throughput, radiance),
+                    )
+                else:
+                    throughput, radiance = _full_branch(
+                        (throughput, radiance)
+                    )
+            else:
+                # K = 0 (brute-trace image scenes, e.g. shrek): exit on
+                # first event — events are dense across the wavefront, so
+                # compaction would not pay; apply the io event directly.
+                img_rgb = atlas_lookup(scene, jnp.maximum(io, 0), u, v)
+                throughput = throughput * V3.where(
+                    io >= 0, img_rgb, one
+                )
         return RegenState(
             origin=origin, direction=direction, time=time,
             throughput=throughput, radiance=radiance, alive=alive,
