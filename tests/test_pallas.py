@@ -261,6 +261,42 @@ def test_unified_tree_render_matches_xla(pallas_interpret):
     np.testing.assert_allclose(fb_uni, fb_ref, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize("trav", ["queue", "rowqueue"])
+def test_queue_traversal_matches_default(pallas_interpret, trav):
+    """The branchless SMEM-queue traversals
+    (ops/pallas_bounce.py:_tree_pass_queue, opt-in via ZWRT_TRAV) must
+    render bit-identically to the default lax.cond walk.  Both modes
+    measured NEGATIVE on a v5e (BASELINE.md round-3 sweeps) and stay
+    opt-in for A/B; a small forced leaf span makes a real multi-leaf tree
+    so the queue actually fills."""
+    prior_span = os.environ.get("ZWRT_LEAF_GROUPS")
+    os.environ["ZWRT_LEAF_GROUPS"] = "2"
+    try:
+        scene = zwrt.models.load_scene("balls")
+        assert scene.compiled.has_sph_tree
+        r = Renderer(samples_per_pixel=2, max_ray_bounce_depth=3, seed=0)
+        os.environ["ZWRT_TRAV"] = trav
+        try:
+            fb_queue = r.render(scene, 12, 12)
+        finally:
+            del os.environ["ZWRT_TRAV"]
+        # ZWRT_TRAV is read at trace time but is not part of the jit cache
+        # key (it is a fresh-process sweep flag); drop the cached traces so
+        # the default walk really recompiles
+        import jax
+
+        jax.clear_caches()
+        fb_cond = r.render(scene, 12, 12)
+    finally:
+        if prior_span is None:
+            del os.environ["ZWRT_LEAF_GROUPS"]
+        else:
+            os.environ["ZWRT_LEAF_GROUPS"] = prior_span
+
+    assert np.isfinite(fb_queue).all()
+    np.testing.assert_allclose(fb_queue, fb_cond, rtol=1e-6, atol=1e-7)
+
+
 def test_atlas_chain_kernel_matches_xla(pallas_interpret):
     """The K-slot atlas-event chain (buffered events + radiance segments +
     reset sentinels, ops/pallas_bounce.py regen loop) only engages for

@@ -433,6 +433,137 @@ def _node_slab_test(box_ref, node, origin, inv_d, tmin, t, alive):
     return (far > near) & alive
 
 
+def _tree_pass_queue(
+    kind_code, box_ref, link_ref, tab_ref, oi_ref, q_ref,
+    origin, direction, tmin, tm, alive, t, kind, idx,
+    *, n_nodes, has_moving, leaf_groups, per_row,
+):
+    """Branchless deferred-leaf-queue traversal (opt-in via ZWRT_TRAV).
+
+    The round-3 answer to the 'wide nodes / SMEM stack' design family: the
+    measured per-node cost of the default walk is dominated by the Mosaic
+    scalar BRANCH of its ``lax.cond`` leaf visit (~250 ns class, see
+    ``_leaf_visit``), not by the slab test.  Here the walk carries only two
+    scalars (node pointer, queue cursor) and pushes hit leaves into an SMEM
+    queue with an UNCONDITIONAL store + conditional cursor advance — zero
+    branches — then a second loop drains the queue with unconditional leaf
+    sweeps (the dynamic leaf-group index is already supported by the table
+    layout).  Trade-off vs the default: t does not tighten during the walk
+    (queued-leaf culling uses the seed t), so slightly more leaves are
+    swept.
+
+    ``per_row`` additionally queues (leaf, ROW) pairs — divergence
+    granularity 128 instead of 1024: a sublane row whose 128 rays all miss
+    a leaf's box never pays that leaf's sweep.  The per-row hit mask is one
+    extra two-stage reduction per node (max over lanes of a
+    power-of-two row weight, then a summing OR), not 8 scalar branches —
+    exactly the cost the measured-negative per-ROW masking design could
+    not avoid."""
+    inv_d = (1.0 / direction.x, 1.0 / direction.y, 1.0 / direction.z)
+    is_sphere = kind_code == PRIM_SPHERE
+    use_tm = is_sphere and has_moving
+    row_w = jnp.left_shift(
+        jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANE), 0)
+    )
+
+    def walk_body(carry):
+        node, sp = carry
+        box_hit = _node_slab_test(
+            box_ref, node, origin, inv_d, tmin, t, alive
+        )
+        miss_link = link_ref[node, 0]
+        leaf_group = link_ref[node, 1]
+        is_leaf = leaf_group >= 0
+        if per_row:
+            # bits r set iff any lane of row r hit: per-row max of a
+            # power-of-two weight, then sum = OR (rows are distinct bits)
+            m = jnp.max(
+                jnp.where(box_hit, row_w, 0), axis=1, keepdims=True
+            )
+            bits = jnp.sum(m)
+            any_hit = bits > 0
+            hit_leaf = is_leaf & any_hit
+            for r in range(ROWS):
+                q_ref[sp] = leaf_group * ROWS + r
+                sp = sp + jnp.where(
+                    hit_leaf & (((bits >> r) & 1) > 0), 1, 0
+                )
+        else:
+            any_hit = jnp.any(box_hit)
+            q_ref[sp] = leaf_group
+            sp = sp + jnp.where(is_leaf & any_hit, 1, 0)
+        nxt = jnp.where(any_hit & jnp.logical_not(is_leaf),
+                        node + 1, miss_link)
+        return nxt, sp
+
+    _, sp = jax.lax.while_loop(
+        lambda c: c[0] < n_nodes, walk_body, (jnp.int32(0), jnp.int32(0))
+    )
+
+    if not per_row:
+        def drain_tile(i, carry):
+            t, kind, idx = carry
+            return _leaf_visit(
+                kind_code, tab_ref, oi_ref, q_ref[i],
+                origin, direction, tmin, tm, t, kind, idx,
+                has_moving=has_moving, leaf_groups=leaf_groups,
+            )
+
+        return jax.lax.fori_loop(0, sp, drain_tile, (t, kind, idx))
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANE), 0)
+    row_fn = _sphere_group_hits if is_sphere else _quad_group_hits
+
+    def drain_row(i, carry):
+        t, kind, idx = carry
+        v = q_ref[i]
+        g0 = v // ROWS
+        r = v - g0 * ROWS
+        sel = sub == r
+
+        def gather(x):
+            return jnp.sum(
+                jnp.where(sel, x, 0.0), axis=0, keepdims=True
+            )
+
+        ox = gather(origin.x)
+        oy = gather(origin.y)
+        oz = gather(origin.z)
+        dx = gather(direction.x)
+        dy = gather(direction.y)
+        dz = gather(direction.z)
+        t_min_row = gather(tmin)
+        if is_sphere:
+            a = dx * dx + dy * dy + dz * dz
+            inv_a = 1.0 / a
+        else:
+            a = inv_a = None
+        tm_row = gather(tm) if use_tm else None
+        ray_row = (ox, oy, oz, dx, dy, dz, t_min_row, a, inv_a, tm_row)
+        t8, i8 = _fresh_group_best()
+        for j in range(leaf_groups):
+            if is_sphere:
+                group = _tab_group_sphere(
+                    tab_ref, oi_ref, g0 + j, None, has_moving=has_moving
+                )
+            else:
+                group = _tab_group_quad(tab_ref, oi_ref, g0 + j, None)
+            t8, i8 = row_fn(ray_row, group, t8, i8)
+        t_row = jnp.min(t8, axis=0, keepdims=True)
+        i_row = jnp.min(
+            jnp.where(t8 <= t_row, i8, _BIG_IDX), axis=0, keepdims=True
+        )
+        t_cur = gather(t)
+        better = sel & jnp.broadcast_to(t_row < t_cur, (ROWS, LANE))
+        return (
+            jnp.where(better, jnp.broadcast_to(t_row, (ROWS, LANE)), t),
+            jnp.where(better, kind_code, kind),
+            jnp.where(better, jnp.broadcast_to(i_row, (ROWS, LANE)), idx),
+        )
+
+    return jax.lax.fori_loop(0, sp, drain_row, (t, kind, idx))
+
+
 def _tree_pass(
     kind_code, box_ref, link_ref, tab_ref, oi_ref,
     origin, direction, tmin, tm, alive, t, kind, idx,
@@ -613,7 +744,8 @@ def _bounce_kernel(
     src/render.zig:188-289).  ``cfg`` is the static scene configuration
     (see _fused_call)."""
     regen = cfg["regen"]
-    it = iter(range(len(refs)))
+    n_refs = len(refs) - (1 if _queue_cap(cfg) else 0)
+    it = iter(range(n_refs))
     nxt = lambda: refs[next(it)]
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, time_ref, rid_ref,
      thx_ref, thy_ref, thz_ref, rax_ref, ray_ref, raz_ref, alive_ref) = (
@@ -627,6 +759,8 @@ def _bounce_kernel(
     lut_ref = nxt()
     mat_ref = nxt()
     trace = _unpack_trace_refs(cfg, nxt)
+    if _queue_cap(cfg):
+        trace["q_queue"] = refs[-1]
     (nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref,
      nthx_ref, nthy_ref, nthz_ref, nrax_ref, nray_ref, nraz_ref,
      nalive_ref) = (nxt() for _ in range(13))
@@ -917,18 +1051,32 @@ def _trace_values(cfg, trace, origin, direction, tmin_tile, tm, alive):
             n_nodes=cfg["uni_nodes"], has_moving=has_moving,
             leaf_groups=cfg["uni_leaf_span"],
         )
+    trav = cfg["trav"]
+
+    def tree(kind_code, box, link, tab, oi, tmv, hs, n_nodes, span, c):
+        if trav == "cond":
+            return _tree_pass(
+                kind_code, box, link, tab, oi,
+                origin, direction, tmin_tile, tmv, alive, *c,
+                n_nodes=n_nodes, has_moving=hs, leaf_groups=span,
+            )
+        return _tree_pass_queue(
+            kind_code, box, link, tab, oi, trace["q_queue"],
+            origin, direction, tmin_tile, tmv, alive, *c,
+            n_nodes=n_nodes, has_moving=hs, leaf_groups=span,
+            per_row=trav == "rowqueue",
+        )
+
     if cfg["sph_mode"] == TR_BRUTE:
         ht, hk, hi = _brute_pass(
             PRIM_SPHERE, trace["s_tab"], origin, direction, tmin_tile, tm,
             ht, hk, hi, n_prims=cfg["n_sph"], has_moving=has_moving,
         )
     elif cfg["sph_mode"] == TR_TREE:
-        ht, hk, hi = _tree_pass(
+        ht, hk, hi = tree(
             PRIM_SPHERE, trace["s_box"], trace["s_link"], trace["s_tab"],
-            trace["s_oi"],
-            origin, direction, tmin_tile, tm, alive, ht, hk, hi,
-            n_nodes=cfg["sph_nodes"], has_moving=has_moving,
-            leaf_groups=cfg["sph_leaf_span"],
+            trace["s_oi"], tm, has_moving,
+            cfg["sph_nodes"], cfg["sph_leaf_span"], (ht, hk, hi),
         )
     if cfg["quad_mode"] == TR_BRUTE:
         ht, hk, hi = _brute_pass(
@@ -936,12 +1084,10 @@ def _trace_values(cfg, trace, origin, direction, tmin_tile, tm, alive):
             ht, hk, hi, n_prims=cfg["n_quad"], has_moving=False,
         )
     elif cfg["quad_mode"] == TR_TREE:
-        ht, hk, hi = _tree_pass(
+        ht, hk, hi = tree(
             PRIM_QUAD, trace["q_box"], trace["q_link"], trace["q_tab"],
-            trace["q_oi"],
-            origin, direction, tmin_tile, None, alive, ht, hk, hi,
-            n_nodes=cfg["quad_nodes"], has_moving=False,
-            leaf_groups=cfg["quad_leaf_span"],
+            trace["q_oi"], None, False,
+            cfg["quad_nodes"], cfg["quad_leaf_span"], (ht, hk, hi),
         )
     return ht, hk, hi
 
@@ -1221,12 +1367,15 @@ def _fused_render_kernel(seed_ref, *refs, cfg):
     wavefront).  Inputs per tile: pixel coords + per-lane sample window;
     outputs: radiance sums (+ work counts when profiling costs)."""
     regen = cfg["regen"]
-    it = iter(range(len(refs)))
+    n_refs = len(refs) - (1 if _queue_cap(cfg) else 0)
+    it = iter(range(n_refs))
     nxt = lambda: refs[next(it)]
     px_ref, py_ref, s0_ref, limit_ref = (nxt() for _ in range(4))
     lut_ref = nxt()
     mat_ref = nxt()
     trace = _unpack_trace_refs(cfg, nxt)
+    if _queue_cap(cfg):
+        trace["q_queue"] = refs[-1]
     rax_ref, ray_ref, raz_ref = (nxt() for _ in range(3))
     nwork_ref = nxt() if regen["work"] else None
 
@@ -1452,8 +1601,31 @@ def _base_cfg(scene: CompiledScene, t_min, terminate_zero):
         "sph_nodes": scene.sph_tree_box.shape[0],
         "quad_nodes": scene.quad_tree_box.shape[0],
         "needs_gauss": scene.needs_gauss,
+        # Traversal strategy for tree passes: "cond" (default lax.cond leaf
+        # visits), "queue" (branchless SMEM leaf queue), "rowqueue" (queue of
+        # (leaf, row) pairs — divergence granularity 128).  Experimental
+        # sweeps only (set in a FRESH process: the flag is read at trace
+        # time and is not part of the jit cache key); see _tree_pass_queue.
+        "trav": os.environ.get("ZWRT_TRAV", "cond"),
         "regen": None,
     }
+
+
+def _queue_cap(cfg) -> int:
+    """SMEM leaf-queue capacity (0 = no queue scratch needed).  Leaves are
+    at most (nodes+1)/2 in any skip-link tree; rowqueue multiplies by
+    ROWS.  The uni-tree path keeps the default traversal, so only the
+    per-kind node counts bound the queue."""
+    if cfg["trav"] == "cond" or cfg["uni_mode"]:
+        return 0
+    n = 0
+    if cfg["sph_mode"] == TR_TREE:
+        n = max(n, (cfg["sph_nodes"] + 1) // 2 + 1)
+    if cfg["quad_mode"] == TR_TREE:
+        n = max(n, (cfg["quad_nodes"] + 1) // 2 + 1)
+    if n == 0:
+        return 0
+    return n * (ROWS if cfg["trav"] == "rowqueue" else 1)
 
 
 def _call_kernel(scene, cfg, ins, in_specs, g, n_outs):
@@ -1484,12 +1656,16 @@ def _call_kernel(scene, cfg, ins, in_specs, g, n_outs):
             jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32)
         ] * k        # bufi
     assert len(out_shape) == n_outs
+    qcap = _queue_cap(cfg)
     return pl.pallas_call(
         functools.partial(_bounce_kernel, cfg=cfg),
         grid_spec=pl.GridSpec(
             grid=(g,),
             in_specs=in_specs,
             out_specs=[_tile_spec()] * n_outs,
+            scratch_shapes=(
+                [pltpu.SMEM((qcap,), jnp.int32)] if qcap else []
+            ),
         ),
         out_shape=out_shape,
         # Big scenes (two trees + LUT + image-uv block) spill past the
@@ -1732,12 +1908,16 @@ def render_fused(
     out_shape = [jax.ShapeDtypeStruct((g, ROWS, LANE), real)] * 3
     if want_work:
         out_shape.append(jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32))
+    qcap = _queue_cap(cfg)
     outs = pl.pallas_call(
         functools.partial(_fused_render_kernel, cfg=cfg),
         grid_spec=pl.GridSpec(
             grid=(g,),
             in_specs=in_specs,
             out_specs=[_tile_spec()] * n_outs,
+            scratch_shapes=(
+                [pltpu.SMEM((qcap,), jnp.int32)] if qcap else []
+            ),
         ),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
