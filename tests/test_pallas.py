@@ -151,6 +151,24 @@ def test_balanced_render_matches_plain(pallas_interpret):
     np.testing.assert_allclose(fb_bal, fb_plain, rtol=2e-5, atol=2e-6)
 
 
+def test_balanced_render_matches_plain_image_scene(pallas_interpret):
+    """Same invariance on an IMAGE scene, which runs the per-bounce kernel
+    (the fused megakernel cannot apply image textures in-kernel) — the
+    balanced driver measured slower there too (renderer.py policy note)
+    but remains a supported configuration."""
+    scene = zwrt.models.load_scene("shrek_quads")
+    r_bal = Renderer(
+        samples_per_pixel=32, max_ray_bounce_depth=4, balance_min_spp=32
+    )
+    fb_bal = r_bal.render(scene, 24, 24)
+
+    r_plain = Renderer(samples_per_pixel=32, max_ray_bounce_depth=4)
+    fb_plain = r_plain.render(scene, 24, 24)
+
+    assert np.isfinite(fb_bal).all()
+    np.testing.assert_allclose(fb_bal, fb_plain, rtol=2e-5, atol=2e-6)
+
+
 def test_balance_plan_covers_each_sample_once():
     """Every (pixel, sample) pair in [spp_est, spp) is owned by exactly one
     lane of the plan; surplus lanes are dead."""

@@ -20,10 +20,19 @@ import json
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("ZWRT_NO_PALLAS", "1")
+# Force CPU.  Env vars are NOT enough on this host: the axon sitecustomize
+# imports jax at interpreter start (before this module runs), so
+# JAX_PLATFORMS is already consumed — only jax.config.update below actually
+# switches the backend.  The reference MUST come from the CPU/XLA path.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["ZWRT_NO_PALLAS"] = "1"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import numpy as np  # noqa: E402
 

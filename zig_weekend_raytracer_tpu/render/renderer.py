@@ -388,9 +388,14 @@ class Renderer:
     # than two-pass balancing at every tested scale (e.g. cornell
     # 400x400@1024spp: 1.02 s fused vs 1.58 s balanced — the cost-map fetch
     # + plan build cost ~100 ms on the tunneled backend and splitting only
-    # shrinks INTRA-tile idle).  Balancing therefore defaults OFF
-    # (balance_min_spp = 0); it remains available for workloads with
-    # extreme per-pixel cost skew.  ZWRT_NO_BALANCE=1 force-disables.
+    # shrinks INTRA-tile idle).  Round 3 re-measured it on the PER-BOUNCE
+    # image path, where a straggler lane stalls the whole wavefront's
+    # while_loop: still a loss (shrek_quads 400x400@128spp: 0.59 s plain
+    # vs 0.94 s balanced — paths are short, mean 1.8 bounces, so the tail
+    # is mild and the estimation pass never pays for itself).  Balancing
+    # therefore defaults OFF (balance_min_spp = 0); it remains available
+    # for workloads with extreme per-pixel cost skew.  ZWRT_NO_BALANCE=1
+    # force-disables.
     balance_min_spp: int = 0
     balance_overprovision: float = 1.3
     # Temporal cost-map reuse (brute-trace scenes): the first render of a
