@@ -49,38 +49,17 @@ VPU_PEAK_FLOPS = 1024 * 2 * 1.5e9  # 3.07 TFLOP/s (assumed v5e VPU peak)
 
 def check_regions(fb: np.ndarray) -> str:
     """Compare the TPU framebuffer against the committed CPU reference
-    statistics.  Returns 'pass' or 'fail:<detail>'."""
+    statistics with the calibrated two-tier gate (global mean 1%, hard
+    per-region 10%+5e-3, soft count >5 regions past 2%+1e-3 — measured
+    justification in utils/goldengate.py).  Returns 'pass (...)' or
+    'fail:<detail>'."""
     if not os.path.exists(GOLDEN):
         return "skip:no-golden"
+    from zig_weekend_raytracer_tpu.utils.goldengate import check_framebuffer
+
     with open(GOLDEN) as f:
         ref = json.load(f)
-    grid = ref["grid"]
-    h, w, _ = fb.shape
-    lum = fb.mean(axis=2)
-    means = lum.reshape(grid, h // grid, grid, w // grid).mean(axis=(1, 3))
-    ref_means = np.asarray(ref["region_means"])
-    g_mean = float(fb.mean())
-    if abs(g_mean - ref["mean"]) > 0.01 * max(ref["mean"], 1e-6):
-        return f"fail:global-mean {g_mean:.4f} vs {ref['mean']:.4f}"
-    # Per-region gate: relative 2% OR absolute 1e-3 luminance.  The
-    # absolute floor keeps dark regions (golden min region mean is 6e-4;
-    # 128-spp MC noise and the kernel's polynomial transcendentals — which
-    # decorrelate a few chaotic paths from the CPU golden — both amplify
-    # RELATIVE error where there is almost no light) from tripping the
-    # gate, while a real brightness/pattern shift on any lit region is
-    # orders of magnitude above 1e-3.
-    diff = np.abs(means - ref_means)
-    rel = diff / np.maximum(ref_means, 1e-3)
-    bad = (rel > 0.02) & (diff > 1e-3)
-    if bad.any():
-        worst_idx = int((rel * bad).argmax())
-        iy, ix = np.unravel_index(worst_idx, rel.shape)
-        return (
-            f"fail:region({iy},{ix}) {means[iy, ix]:.4f} vs "
-            f"{ref_means[iy, ix]:.4f} (rel {rel[iy, ix]:.3f}, "
-            f"abs {diff[iy, ix]:.4f})"
-        )
-    return "pass"
+    return check_framebuffer(fb, ref["mean"], np.asarray(ref["region_means"]))
 
 
 def measure_iterations_per_path(scene, spp_probe: int = 64) -> float:

@@ -6,20 +6,10 @@ region statistics against the CPU/XLA references in
 tests/golden/scene_regions.json (regenerate with
 tools/gen_scene_goldens.py).
 
-Tolerance policy (two tiers + global mean).  Float divergence between
-backends (polynomial transcendentals, fma contraction) decorrelates a
-few chaotic paths — glass/fuzz/motion scenes like rtw_final shift 2-3
-dim regions by 1-3e-3 luminance, measured at a FRACTION of one-seed MC
-noise (seed0-vs-seed1 at the same config moves 19/64 regions beyond a
-2%+1e-3 bound, worst 27%; CPU-vs-TPU with the SAME samples moves 3,
-worst 6%).  A single-region 2% gate therefore false-positives on
-chaos while a real Mosaic miscompile is either systematic (shifts the
-global mean / most regions) or localized-but-large.  Hence:
-  * global mean within 1% (systematic shift);
-  * HARD per-region bound: >10% relative AND >5e-3 absolute fails
-    outright (localized pattern break);
-  * SOFT count: more than 5 of the 64 regions off by >2% relative AND
-    >1e-3 absolute fails (distributed shift below the mean gate).
+Tolerance policy: the calibrated two-tier gate in
+zig_weekend_raytracer_tpu/utils/goldengate.py (global mean 1%, hard
+per-region 10%+5e-3, soft count >5/64 regions past 2%+1e-3 — see that
+module's docstring for the measured justification).
 
 Usage: python tools/tpu_golden_check.py [scene ...]   (default: all)
 Exit code 0 = all pass; 1 = any scene diverged.
@@ -43,6 +33,7 @@ GOLDEN = os.path.join(
 
 def check_scene(name: str, ref: dict, grid: int) -> str:
     import zig_weekend_raytracer_tpu as zwrt
+    from zig_weekend_raytracer_tpu.utils.goldengate import check_framebuffer
 
     scene = zwrt.models.load_scene(name)
     fb = np.asarray(
@@ -52,29 +43,9 @@ def check_scene(name: str, ref: dict, grid: int) -> str:
             seed=0,
         ).render(scene, ref["width"], ref["height"])
     )
-    if np.isnan(fb).any():
-        return "fail:nan"
-    g_mean = float(fb.mean())
-    if abs(g_mean - ref["mean"]) > 0.01 * max(ref["mean"], 1e-6):
-        return f"fail:global-mean {g_mean:.4f} vs {ref['mean']:.4f}"
-    h, w, _ = fb.shape
-    lum = fb.mean(axis=2)
-    means = lum.reshape(grid, h // grid, grid, w // grid).mean(axis=(1, 3))
-    ref_means = np.asarray(ref["region_means"])
-    diff = np.abs(means - ref_means)
-    rel = diff / np.maximum(ref_means, 1e-3)
-    hard = (rel > 0.10) & (diff > 5e-3)
-    if hard.any():
-        iy, ix = np.unravel_index(int((rel * hard).argmax()), rel.shape)
-        return (
-            f"fail:region({iy},{ix}) {means[iy, ix]:.4f} vs "
-            f"{ref_means[iy, ix]:.4f} (rel {rel[iy, ix]:.3f})"
-        )
-    soft = (rel > 0.02) & (diff > 1e-3)
-    n_soft = int(soft.sum())
-    if n_soft > 5:
-        return f"fail:{n_soft}/64 regions beyond 2%+1e-3 (systematic shift)"
-    return f"pass ({n_soft} soft-divergent regions)"
+    return check_framebuffer(
+        fb, ref["mean"], np.asarray(ref["region_means"])
+    )
 
 
 def main() -> int:
