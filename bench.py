@@ -129,11 +129,15 @@ def main() -> None:
     try:
         iters_per_path = measure_iterations_per_path(scene)
     except Exception:
-        iters_per_path = float("nan")
+        iters_per_path = None  # json null, NOT NaN (invalid JSON)
 
     paths = WIDTH * HEIGHT * SPP
     mpaths_per_s = paths / best / 1e6
-    achieved_flops = paths * iters_per_path * flops_per_iter / best
+    achieved_flops = (
+        paths * iters_per_path * flops_per_iter / best
+        if iters_per_path is not None
+        else None
+    )
     north_star_mpaths_per_s = 400 * 400 * 1000 / 1.0 / 1e6  # 160
     out = {
         "metric": "cornell_box 400x400 @1024spp depth10 path throughput (1 v5e chip; north-star config)",
@@ -141,10 +145,18 @@ def main() -> None:
         "unit": "Mpaths/s",
         "vs_baseline": round(mpaths_per_s / north_star_mpaths_per_s, 4),
         "correctness": correctness,
-        "iters_per_path": round(iters_per_path, 3),
+        "iters_per_path": (
+            round(iters_per_path, 3) if iters_per_path is not None else None
+        ),
         "flops_per_iter_est": flops_per_iter,
-        "achieved_tflops_est": round(achieved_flops / 1e12, 3),
-        "vpu_util_est": round(achieved_flops / VPU_PEAK_FLOPS, 3),
+        "achieved_tflops_est": (
+            round(achieved_flops / 1e12, 3) if achieved_flops is not None
+            else None
+        ),
+        "vpu_util_est": (
+            round(achieved_flops / VPU_PEAK_FLOPS, 3)
+            if achieved_flops is not None else None
+        ),
     }
     print(json.dumps(out))
     if correctness.startswith("fail"):

@@ -22,9 +22,25 @@ os.environ.setdefault("ZWRT_LEAF_GROUPS", "4")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_threefry_partitionable", True)
 
 assert len(jax.devices()) == 8, jax.devices()
+
+
+@pytest.fixture()
+def pallas_interpret():
+    """Force the Pallas kernel path (interpret mode) for one test — the
+    same kernel graph a real TPU compiles, executed on CPU."""
+    from zig_weekend_raytracer_tpu.ops.trace import _use_pallas_backend
+
+    os.environ["ZWRT_PALLAS_INTERPRET"] = "1"
+    _use_pallas_backend.cache_clear()
+    try:
+        yield
+    finally:
+        del os.environ["ZWRT_PALLAS_INTERPRET"]
+        _use_pallas_backend.cache_clear()

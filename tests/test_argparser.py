@@ -134,3 +134,17 @@ def test_usage_lists_enum_variants():
     assert "red" in usage and "green" in usage
     assert "(required)" in usage
     assert "(default: 100)" in usage
+
+
+def test_profile_mode_normalization():
+    """--profile accepts host/device/off AND every legacy bool spelling
+    (the flag was a bool before the device mode landed)."""
+    from zig_weekend_raytracer_tpu.cli import normalize_profile_mode
+
+    for legacy_on in ("true", "1", "yes", "on", "TRUE", "Yes"):
+        assert normalize_profile_mode(legacy_on) == "host", legacy_on
+    for legacy_off in ("false", "0", "no", "off", "False"):
+        assert normalize_profile_mode(legacy_off) == "off", legacy_off
+    assert normalize_profile_mode("host") == "host"
+    assert normalize_profile_mode("device") == "device"
+    assert normalize_profile_mode("maybe") is None

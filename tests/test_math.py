@@ -99,8 +99,28 @@ class TestOrthoBasis:
 
 
 class TestColorSpace:
-    def test_gamma2_roundtrip(self):
-        # byte -> linear is x*x (textures.py:79); linear -> display is sqrt
-        # (io/ppm.py:24) — the reference's gamma-2 pair (math.zig:172-179)
-        c = np.asarray([0.1, 0.5, 0.9], np.float32)
-        np.testing.assert_allclose(np.sqrt(c * c), c, rtol=1e-6)
+    """The gamma-2 pair: byte -> linear squares (textures.py:79, covered by
+    tests/test_textures.py:test_gamma_linearization); linear -> display is
+    encode_pixels' sqrt (io/ppm.py) — the reference's math.zig:172-179."""
+
+    def test_gamma2_byte_roundtrip_exact(self):
+        # Every byte value, linearized with the texture convention
+        # ((b/255)^2), must encode back to exactly itself: sqrt recovers
+        # b/255, and floor(b * 256/255) == b for all b in [0, 255].
+        from zig_weekend_raytracer_tpu.io.ppm import encode_pixels
+
+        b = np.arange(256, dtype=np.float32)
+        linear = (b / 255.0) ** 2
+        fb = np.repeat(linear, 3).reshape(16, 16, 3)
+        out = encode_pixels(fb)
+        np.testing.assert_array_equal(
+            out, np.repeat(b.astype(np.uint8), 3).reshape(16, 16, 3)
+        )
+
+    def test_encode_scrubs_nan_and_clamps(self):
+        from zig_weekend_raytracer_tpu.io.ppm import encode_pixels
+
+        fb = np.array([[[np.nan, -0.5, 9.0]]], np.float32)
+        out = encode_pixels(fb)
+        # NaN -> 0, negative -> 0, >1 radiance clamps to 255 (0.999 * 256)
+        np.testing.assert_array_equal(out, [[[0, 0, 255]]])

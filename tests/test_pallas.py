@@ -18,16 +18,7 @@ from zig_weekend_raytracer_tpu.render import Renderer
 from zig_weekend_raytracer_tpu.scene import Camera, SceneBuilder
 
 
-@pytest.fixture()
-def pallas_interpret():
-    """Force the Pallas path (interpreted) for the duration of a test."""
-    from zig_weekend_raytracer_tpu.ops.trace import _use_pallas_backend
-
-    os.environ["ZWRT_PALLAS_INTERPRET"] = "1"
-    _use_pallas_backend.cache_clear()
-    yield
-    del os.environ["ZWRT_PALLAS_INTERPRET"]
-    _use_pallas_backend.cache_clear()
+# pallas_interpret fixture: shared in tests/conftest.py
 
 
 def _random_scene(seed, n_spheres, n_quads, moving=False, bvh=True):

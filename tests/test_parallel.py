@@ -112,17 +112,7 @@ def test_sample_sharding_image_scene():
     np.testing.assert_allclose(np.asarray(fb), single, rtol=1e-4, atol=1e-6)
 
 
-@pytest.fixture()
-def pallas_interpret():
-    import os
-
-    from zig_weekend_raytracer_tpu.ops.trace import _use_pallas_backend
-
-    os.environ["ZWRT_PALLAS_INTERPRET"] = "1"
-    _use_pallas_backend.cache_clear()
-    yield
-    del os.environ["ZWRT_PALLAS_INTERPRET"]
-    _use_pallas_backend.cache_clear()
+# pallas_interpret fixture: shared in tests/conftest.py
 
 
 @pytest.mark.parametrize("shard", ["samples", "rows"])

@@ -46,21 +46,17 @@ OUT = os.path.join(
 )
 
 
-def region_means(fb: np.ndarray, grid: int = GRID) -> np.ndarray:
-    """(H, W, 3) -> (grid, grid) luminance region means."""
-    h, w, _ = fb.shape
-    lum = fb.mean(axis=2)
-    return lum.reshape(grid, h // grid, grid, w // grid).mean(axis=(1, 3))
-
-
 def main() -> None:
     import zig_weekend_raytracer_tpu as zwrt
+    # The SAME region definition the gate uses — generator/gate divergence
+    # would make every regenerated golden mis-scored.
+    from zig_weekend_raytracer_tpu.utils.goldengate import region_means
 
     scene = zwrt.models.load_scene("cornell_box")
     fb = zwrt.render.Renderer(
         samples_per_pixel=SPP, max_ray_bounce_depth=DEPTH, seed=0
     ).render(scene, WIDTH, HEIGHT)
-    means = region_means(np.asarray(fb))
+    means = region_means(np.asarray(fb), GRID)
     payload = {
         "scene": "cornell_box",
         "width": WIDTH,

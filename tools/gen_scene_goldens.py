@@ -55,14 +55,11 @@ CONFIGS = [
 ]
 
 
-def region_means(fb: np.ndarray, grid: int = GRID) -> np.ndarray:
-    h, w, _ = fb.shape
-    lum = fb.mean(axis=2)
-    return lum.reshape(grid, h // grid, grid, w // grid).mean(axis=(1, 3))
-
-
 def main() -> None:
     import zig_weekend_raytracer_tpu as zwrt
+    # The SAME region definition the gate uses — generator/gate divergence
+    # would make every regenerated golden mis-scored.
+    from zig_weekend_raytracer_tpu.utils.goldengate import region_means
 
     payload = {"grid": GRID, "scenes": {}}
     for name, w, h, spp, depth in CONFIGS:
@@ -78,7 +75,7 @@ def main() -> None:
             "spp": spp,
             "depth": depth,
             "mean": float(fb.mean()),
-            "region_means": region_means(fb).tolist(),
+            "region_means": region_means(fb, GRID).tolist(),
         }
         print(f"{name}: mean {fb.mean():.4f}")
     with open(OUT, "w") as f:

@@ -31,7 +31,7 @@ GOLDEN = os.path.join(
 )
 
 
-def check_scene(name: str, ref: dict, grid: int) -> str:
+def check_scene(name: str, ref: dict) -> str:
     import zig_weekend_raytracer_tpu as zwrt
     from zig_weekend_raytracer_tpu.utils.goldengate import check_framebuffer
 
@@ -52,9 +52,16 @@ def main() -> int:
     with open(GOLDEN) as f:
         golden = json.load(f)
     names = sys.argv[1:] or list(golden["scenes"])
+    unknown = [n for n in names if n not in golden["scenes"]]
+    if unknown:
+        print(
+            f"error: unknown scene(s) {unknown}; golden has "
+            f"{sorted(golden['scenes'])}", file=sys.stderr,
+        )
+        return 2
     rc = 0
     for name in names:
-        verdict = check_scene(name, golden["scenes"][name], golden["grid"])
+        verdict = check_scene(name, golden["scenes"][name])
         print(f"{name}: {verdict}")
         if not verdict.startswith("pass"):
             rc = 1

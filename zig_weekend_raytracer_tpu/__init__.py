@@ -26,6 +26,25 @@ Typical usage:
 
 import os as _os
 
+# ZWRT_PLATFORM=cpu (or tpu/gpu): force the JAX backend.  Needed because
+# some hosts install a sitecustomize that imports jax and registers a TPU
+# plugin before ANY user code runs — by then JAX_PLATFORMS from the shell
+# has been consumed, and only a jax.config update (applied before first
+# backend use) still switches the platform.
+if _os.environ.get("ZWRT_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["ZWRT_PLATFORM"])
+
+# ZWRT_CPU_DEVICES=N: virtual CPU device count (for --shard smoke runs
+# without hardware; the XLA_FLAGS spelling is a no-op on jax 0.9).
+if _os.environ.get("ZWRT_CPU_DEVICES"):
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_num_cpu_devices", int(_os.environ["ZWRT_CPU_DEVICES"])
+    )
+
 # Persistent XLA compilation cache: TPU compiles of the fused render program
 # take tens of seconds (they run on the far side of the device tunnel), so
 # cache them across processes.  Opt out with ZWRT_NO_COMPILE_CACHE=1.

@@ -45,6 +45,19 @@ class UserArgs:
     profile: str = "off"
 
 
+def normalize_profile_mode(text: str) -> str | None:
+    """--profile value -> 'off' | 'host' | 'device', or None if invalid.
+
+    Accepts every legacy bool spelling (the flag predates the host/device
+    modes and took utils.argparser._parse_bool values)."""
+    mode = text.lower()
+    if mode in ("true", "1", "yes", "on"):
+        return "host"
+    if mode in ("false", "0", "no"):
+        return "off"
+    return mode if mode in ("off", "host", "device") else None
+
+
 def parse_user_args(argv) -> UserArgs:
     parser = ArgParser(UserArgs)
     try:
@@ -70,10 +83,8 @@ def main(argv=None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
 
-    profile_mode = args.profile.lower()
-    if profile_mode in ("true", "1", "on"):  # legacy bool spelling
-        profile_mode = "host"
-    if profile_mode not in ("off", "false", "0", "host", "device"):
+    profile_mode = normalize_profile_mode(args.profile)
+    if profile_mode is None:
         print(f"error: unknown --profile mode {args.profile!r} "
               "(off | host | device)", file=sys.stderr)
         return 1

@@ -336,8 +336,9 @@ class CompiledScene:
     # read these so tree layout and traversal always agree.
     sph_leaf_span: int = 32
     quad_leaf_span: int = 32
-    # Unified tree (built when both kinds have trees; ZWRT_NO_UNI_TREE=1
-    # falls back to the two per-kind walks)
+    # Unified both-kind tree: measured NEGATIVE vs the two per-kind walks
+    # (BASELINE.md), so it is OPT-IN via ZWRT_UNI_TREE=1 when both kinds
+    # have trees; default renders use the per-kind walks.
     has_uni_tree: bool = False
     uni_leaf_span: int = 32
     # static (width, height) per atlas image: lets texture lookups compute
