@@ -37,6 +37,10 @@ class UserArgs:
     seed: int = 0
     asset_dir: str = DEFAULT_ASSET_DIR
     shard: str = "none"  # none | samples | rows  (multi-chip)
+    # Russian roulette start bounce (0 = off, reference semantics).
+    # Unbiased path-tail termination; ignored on image-texture scenes
+    # (render/integrator.py:trace_paths docstring).
+    russian_roulette: int = 0
     # Tracy-lite zone tables after the render:
     #   --profile / --profile=host    host wall-clock per named_zone
     #   --profile=device              per-kernel DEVICE ms from a
@@ -104,6 +108,7 @@ def main(argv=None) -> int:
                 scene, args.image_width, args.image_height,
                 args.samples_per_pixel, args.ray_bounce_max_depth,
                 sampler=args.sampler, shard=args.shard, seed=args.seed,
+                rr=args.russian_roulette,
             )
             import numpy as np
 
@@ -113,6 +118,7 @@ def main(argv=None) -> int:
             max_ray_bounce_depth=args.ray_bounce_max_depth,
             sampler=args.sampler,
             seed=args.seed,
+            russian_roulette=args.russian_roulette,
         )
         return renderer.render(scene, args.image_width, args.image_height)
 

@@ -69,6 +69,7 @@ from ..scene import (
     CompiledScene,
 )
 from ..sampling import hashrng
+from ..sampling.hashrng import RR_P_MIN
 from ..textures import checker_parity
 from ..geometry import quad as quad_g
 from ..geometry import sphere as sphere_g
@@ -1120,6 +1121,8 @@ def _bounce_core(
     # because RNG draws are content-addressed per site, never sequential).
     if cfg["needs_gauss"]:
         gauss = hashrng.gauss3(seed, rid, site + jnp.uint32(2))
+    if cfg["rr_start"]:
+        u_rr = hashrng.uniform1(seed, rid, site + jnp.uint32(3))
 
     hit_any = hk >= 0
     hitmask = alive & hit_any
@@ -1296,6 +1299,21 @@ def _bounce_core(
             | (new_throughput.z != 0.0)
         )
         survives = survives & nonzero
+    if cfg["rr_start"]:
+        # Russian roulette (mirrors render/integrator.py:bounce): p from
+        # the INCOMING throughput, kill the continuation with prob 1 - p
+        # from bounce rr_start on, survivors carry the 1/p weight.
+        p_rr = jnp.clip(
+            jnp.maximum(
+                throughput.x, jnp.maximum(throughput.y, throughput.z)
+            ),
+            RR_P_MIN, 1.0,
+        )
+        apply_rr = alive & (depth >= cfg["rr_start"])
+        survives = survives & jnp.logical_not(apply_rr & (u_rr >= p_rr))
+        new_throughput = new_throughput * jnp.where(
+            apply_rr, 1.0 / p_rr, 1.0
+        )
 
     new_origin = V3.where(hitmask, point, origin)
     new_direction = V3.where(hitmask, new_dir, direction)
@@ -1582,12 +1600,17 @@ def _scene_trace_inputs(scene: CompiledScene, cfg, ins, in_specs):
         cfg["quad_mode"] = TR_NONE
 
 
-def _base_cfg(scene: CompiledScene, t_min, terminate_zero):
+def _base_cfg(scene: CompiledScene, t_min, terminate_zero, rr_start=0):
     return {
         "t_min": float(t_min),
         "has_moving": scene.has_moving,
         "has_images": scene.has_image_textures,
         "terminate_zero": terminate_zero,
+        # Russian roulette from this bounce index (0 = off).  Gated off on
+        # image scenes: the kernel's live throughput excludes deferred
+        # atlas factors there, so adaptive p would diverge from the XLA
+        # twin (render/integrator.py:trace_paths docstring).
+        "rr_start": int(rr_start) if not scene.has_image_textures else 0,
         "n_sph": scene.n_spheres,
         "n_quad": scene.n_quads,
         "lut_rows": scene.shade_lut.shape[1],
@@ -1683,6 +1706,7 @@ def bounce_pallas(
     throughput: V3, radiance: V3, alive,
     seed, depth, t_min,
     terminate_zero: bool = True,
+    rr_start: int = 0,
 ):
     """Run the fused bounce (trace included) for a wavefront.  Returns
     (origin', direction', throughput', radiance', alive', (u, v, img))."""
@@ -1717,7 +1741,7 @@ def bounce_pallas(
         + [_const_spec(scene.shade_lut.shape)]
         + [_const_spec(scene.mat_lut.shape)]
     )
-    cfg = _base_cfg(scene, t_min, terminate_zero)
+    cfg = _base_cfg(scene, t_min, terminate_zero, rr_start)
     _scene_trace_inputs(scene, cfg, ins, in_specs)
 
     outs = _call_kernel(scene, cfg, ins, in_specs, g, 16)
@@ -1747,6 +1771,7 @@ def bounce_pallas_regen(
     max_depth, has_dof,
     terminate_zero: bool = True,
     work=None,
+    rr_start: int = 0,
 ):
     """One regenerating bounce: dead lanes respawn their pixel's next sample
     (camera ray generated in-kernel) before tracing.  All array args must
@@ -1786,7 +1811,7 @@ def bounce_pallas_regen(
         + [_const_spec(scene.shade_lut.shape)]
         + [_const_spec(scene.mat_lut.shape)]
     )
-    cfg = _base_cfg(scene, t_min, terminate_zero)
+    cfg = _base_cfg(scene, t_min, terminate_zero, rr_start)
     cfg["regen"] = {
         "camera": camera_consts,
         "sampler": sampler,
@@ -1860,6 +1885,7 @@ def render_fused(
     max_depth, has_dof,
     terminate_zero: bool = True,
     want_work: bool = False,
+    rr_start: int = 0,
 ):
     """Whole-render megakernel driver: ONE pallas_call renders every
     (pixel, sample) work item — each ray tile loops over bounces in-kernel
@@ -1890,7 +1916,7 @@ def render_fused(
         + [_const_spec(scene.shade_lut.shape)]
         + [_const_spec(scene.mat_lut.shape)]
     )
-    cfg = _base_cfg(scene, t_min, terminate_zero)
+    cfg = _base_cfg(scene, t_min, terminate_zero, rr_start)
     cfg["regen"] = {
         "camera": camera_consts,
         "sampler": sampler,

@@ -58,9 +58,13 @@ from ..utils.profiler import named_zone
 from .pdfs import light_pdf_value, sample_light_direction
 
 # hashrng stream-site layout: camera uses sites 0..3 (see camera.py);
-# each bounce d uses sites _BOUNCE_BASE + d * _SITES_PER_BOUNCE + k.
+# each bounce d uses sites _BOUNCE_BASE + d * _SITES_PER_BOUNCE + k
+# (k = 0 scatter, 1 light mixture, 2 gauss triple, 3 Russian roulette).
 _BOUNCE_BASE = 8
 _SITES_PER_BOUNCE = 4
+
+# Russian-roulette survival floor (shared with the kernel twin)
+RR_P_MIN = hashrng.RR_P_MIN
 
 
 class PathState(NamedTuple):
@@ -105,6 +109,7 @@ def trace_paths_regen(
     has_dof: bool,
     terminate_zero_throughput: bool = True,
     want_work: bool = False,
+    rr_start: int = 0,
 ):
     """Regenerating wavefront: each slot owns one pixel and sequentially
     path-traces samples ``first_sample, first_sample + stride, ...`` below
@@ -137,6 +142,7 @@ def trace_paths_regen(
             max_depth=max_depth, has_dof=has_dof,
             terminate_zero=terminate_zero_throughput,
             want_work=want_work,
+            rr_start=rr_start,
         )
 
     n = px.shape[0]
@@ -168,6 +174,7 @@ def trace_paths_regen(
                 max_depth=max_depth, has_dof=has_dof,
                 terminate_zero=terminate_zero_throughput,
                 work=st.work if want_work else None,
+                rr_start=rr_start,
             )
         if scene.has_image_textures:
             # Resolve the per-lane pending-atlas-event chain: walk the K
@@ -301,8 +308,18 @@ def trace_paths(
     ray_id: jnp.ndarray,     # (N,) u32 global ray ids
     max_depth: int,
     terminate_zero_throughput: bool = True,
+    rr_start: int = 0,
 ) -> V3:
     """Estimate radiance for a wavefront of rays.  Returns V3 of (N,).
+
+    ``rr_start`` > 0 enables Russian roulette from that bounce index: a
+    path entering bounce d >= rr_start continues with probability
+    p = clamp(max(throughput), RR_P_MIN, 1) and survivors scale throughput
+    by 1/p — an unbiased estimator-preserving tail cut (a PBRT-standard
+    extension; the reference has no RR, so the default 0 keeps reference
+    semantics and all goldens).  Gated OFF on image-texture scenes: the
+    kernel defers atlas factors out of its live throughput, so an adaptive
+    p would diverge between the Pallas and XLA formulations there.
 
     Stream compaction (permuting live paths to the wavefront front) was
     prototyped in round 1 and REMOVED: XLA scatter on TPU measured far
@@ -327,6 +344,8 @@ def trace_paths(
 
         use_bounce_kernel = supports_bounce_kernel(scene)
 
+    rr_on = rr_start > 0 and not scene.has_image_textures
+
     def bounce_kernel(depth, st: PathState) -> PathState:
         """Fused Pallas bounce (ops/pallas_bounce.py): trace + shade +
         scatter run in ONE kernel; image textures are multiplied in
@@ -337,6 +356,7 @@ def trace_paths(
                 st.throughput, st.radiance, st.alive,
                 seed, depth, T_MIN,
                 terminate_zero=terminate_zero_throughput,
+                rr_start=rr_start,
             )
         )
         if scene.has_image_textures:
@@ -362,6 +382,8 @@ def trace_paths(
             # feeds only isotropic/fuzzy-metal; content-addressed draws make
             # skipping it bitwise-safe for scenes with neither
             gauss = hashrng.gauss3(seed, ray_id, site + 2)
+        if rr_on:
+            u_rr = hashrng.uniform1(seed, ray_id, site + 3)
 
         with named_zone("rayColor"):
             hit = closest_hit(
@@ -494,6 +516,22 @@ def trace_paths(
                 | (throughput.z != 0.0)
             )
             survives = survives & nonzero
+        if rr_on:
+            # Russian roulette on the continuation: p from the INCOMING
+            # throughput (identical in the kernel twin), applied from
+            # bounce rr_start on.  This bounce's radiance contributions
+            # (emission/background, weighted by incoming throughput) are
+            # untouched; survivors carry the 1/p weight forward.
+            p_rr = jnp.clip(
+                jnp.maximum(
+                    st.throughput.x,
+                    jnp.maximum(st.throughput.y, st.throughput.z),
+                ),
+                RR_P_MIN, 1.0,
+            )
+            apply_rr = st.alive & (depth >= rr_start)
+            survives = survives & ~(apply_rr & (u_rr >= p_rr))
+            throughput = throughput * jnp.where(apply_rr, 1.0 / p_rr, 1.0)
 
         return PathState(
             origin=V3.where(hitmask, det.point, st.origin),

@@ -110,7 +110,7 @@ def unflatten_radiance(rad, width, band_rows, spp_chunk, tile):
     jax.jit,
     static_argnames=(
         "width", "height", "band_rows", "spp_chunk", "spp",
-        "max_depth", "sampler", "has_dof", "sample_limit",
+        "max_depth", "sampler", "has_dof", "sample_limit", "rr",
     ),
 )
 def _render_band(
@@ -129,6 +129,7 @@ def _render_band(
     sampler: SamplerKind,
     has_dof: bool,
     sample_limit: int | None = None,
+    rr: int = 0,
 ) -> jnp.ndarray:
     """Render one (row-band x sample-chunk) wavefront; returns the radiance
     sum over the chunk's samples, shape (band_rows, width, 3).
@@ -150,7 +151,8 @@ def _render_band(
             )
         with named_zone("rayColorLine"):
             radiance = trace_paths(
-                scene, origin, direction, time, seed, ray_id, max_depth
+                scene, origin, direction, time, seed, ray_id, max_depth,
+                rr_start=rr,
             )
         # Zero padded samples (last chunk when spp % spp_chunk != 0).
         valid = sidx < (spp if sample_limit is None else sample_limit)
@@ -164,7 +166,7 @@ def _render_band(
     jax.jit,
     static_argnames=(
         "width", "height", "band_rows", "s_par", "spp",
-        "max_depth", "sampler", "has_dof", "cam_consts", "want_work",
+        "max_depth", "sampler", "has_dof", "cam_consts", "want_work", "rr",
     ),
 )
 def _render_band_regen(
@@ -185,6 +187,7 @@ def _render_band_regen(
     has_dof: bool,
     cam_consts,             # static float tuple (camera_consts)
     want_work: bool = False,
+    rr: int = 0,
 ):
     """Regenerating-wavefront band render (Pallas bounce-kernel path): each
     of band_rows*width*s_par slots sequentially traces its pixel's samples
@@ -216,7 +219,7 @@ def _render_band_regen(
             scene, cam_consts, seed, px, py, sidx, limit,
             sampler=sampler, width=width, height=height, spp=spp,
             stride=s_par, max_depth=max_depth,
-            has_dof=has_dof, want_work=want_work,
+            has_dof=has_dof, want_work=want_work, rr_start=rr,
         )
         radiance = out[0] if want_work else out
         rad = radiance.to_array()[:n]
@@ -232,7 +235,7 @@ def _render_band_regen(
     jax.jit,
     static_argnames=(
         "width", "height", "band_rows", "spp", "max_depth", "sampler",
-        "has_dof", "cam_consts",
+        "has_dof", "cam_consts", "rr",
     ),
 )
 def _render_band_balanced(
@@ -252,6 +255,7 @@ def _render_band_balanced(
     sampler: SamplerKind,
     has_dof: bool,
     cam_consts,
+    rr: int = 0,
 ) -> jnp.ndarray:
     """Balanced-plan band render: lanes carry explicit (pixel, sample-range)
     work items produced by ``build_balance_plan``; per-lane radiance sums are
@@ -263,7 +267,7 @@ def _render_band_balanced(
         radiance = trace_paths_regen(
             scene, cam_consts, seed, px, py, s0, s1,
             sampler=sampler, width=width, height=height, spp=spp,
-            stride=1, max_depth=max_depth, has_dof=has_dof,
+            stride=1, max_depth=max_depth, has_dof=has_dof, rr_start=rr,
         )
         pixflat = (py - band_y0) * width + px
         fb = jnp.zeros((band_rows * width, 3), real)
@@ -354,6 +358,12 @@ class Renderer:
     # ~2^17 rays the TPU runtime falls over (observed worker crashes), so
     # BVH scenes are chunked finer until the Pallas traversal kernel lands.
     max_rays_per_chunk_bvh: int = 1 << 17
+    # Russian roulette from this bounce index (0 = off, the reference
+    # semantics).  Unbiased tail cut: from bounce d >= russian_roulette a
+    # path continues with p = clamp(max(throughput), RR_P_MIN, 1) and
+    # survivors carry the 1/p weight (integrator.trace_paths docstring).
+    # Ignored on image-texture scenes (kernel/XLA p would diverge there).
+    russian_roulette: int = 0
 
     def chunk_geometry(self, scene: Scene, width: int, height: int, spp_req: int):
         """(spp_chunk, band_rows) chunk sizing shared by the one-shot and
@@ -456,7 +466,7 @@ class Renderer:
             spp=spp, sample_limit=spp_est,
             max_depth=self.max_ray_bounce_depth,
             sampler=self.sampler, has_dof=has_dof, cam_consts=cam_c,
-            want_work=True,
+            want_work=True, rr=self.russian_roulette,
         )
         lane_idx = tile_order_lane_index(width, band_rows, tile)
         work_px = np.asarray(work)[lane_idx.reshape(-1)].reshape(
@@ -475,7 +485,7 @@ class Renderer:
             jnp.asarray(s0), jnp.asarray(s1),
             width=width, height=height, band_rows=band_rows, spp=spp,
             max_depth=self.max_ray_bounce_depth, sampler=self.sampler,
-            has_dof=has_dof, cam_consts=cam_c,
+            has_dof=has_dof, cam_consts=cam_c, rr=self.russian_roulette,
         )
         return fb_est + out
 
@@ -506,7 +516,7 @@ class Renderer:
                 s_par=1, spp=spp, sample_limit=spp,
                 max_depth=self.max_ray_bounce_depth,
                 sampler=self.sampler, has_dof=has_dof, cam_consts=cam_c,
-                want_work=True,
+                want_work=True, rr=self.russian_roulette,
             )
             # keep the cost map on device; converted lazily at plan build
             while len(scene_cache) >= self._plan_cache_max_configs:
@@ -543,7 +553,7 @@ class Renderer:
             scene.compiled, seed, jnp.int32(band_y0), pxd, pyd, s0d, s1d,
             width=width, height=height, band_rows=band_rows, spp=spp,
             max_depth=self.max_ray_bounce_depth, sampler=self.sampler,
-            has_dof=has_dof, cam_consts=cam_c,
+            has_dof=has_dof, cam_consts=cam_c, rr=self.russian_roulette,
         )
 
     def render(
@@ -631,7 +641,7 @@ class Renderer:
                         s_par=s_par, spp=spp, sample_limit=spp,
                         max_depth=self.max_ray_bounce_depth,
                         sampler=self.sampler, has_dof=has_dof,
-                        cam_consts=cam_c,
+                        cam_consts=cam_c, rr=self.russian_roulette,
                     )
                 fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
             return fb[:height] / real(spp)
@@ -650,6 +660,7 @@ class Renderer:
                     spp_chunk=spp_chunk, spp=spp,
                     max_depth=self.max_ray_bounce_depth,
                     sampler=self.sampler, has_dof=has_dof,
+                    rr=self.russian_roulette,
                 )
                 fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
         return fb[:height] / real(spp)

@@ -31,6 +31,13 @@ _MUL = np.uint32(1664525)
 _ADD = np.uint32(1013904223)
 TWO_PI = 6.283185307179586
 
+# Russian-roulette survival floor shared by the XLA integrator and the
+# Pallas bounce kernel (both draw u at per-bounce site k=3):
+# p = clamp(max(throughput), RR_P_MIN, 1) bounds weight amplification at
+# 1/RR_P_MIN.  Lives here because both twins import this module and must
+# agree bitwise.
+RR_P_MIN = 0.05
+
 
 def pcg4d(a, b, c, d) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """PCG4D mix of four u32 arrays -> four u32 arrays."""
