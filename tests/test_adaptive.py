@@ -1,0 +1,174 @@
+"""Variance-guided adaptive sampling (render/adaptive.py).
+
+Beyond-reference capability (the reference renders fixed spp everywhere,
+src/render.zig:55-73): same total budget, re-allocated per pixel by
+measured noise.  Tests pin the plan algebra (exact budget conservation,
+range partitioning), the estimator (unbiased mean, equal-budget MSE win
+on cornell), and the guard rails (stratified rejection, image scenes)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import zig_weekend_raytracer_tpu as zwrt
+from zig_weekend_raytracer_tpu.render import Renderer
+from zig_weekend_raytracer_tpu.render.adaptive import (
+    allocate_extra,
+    build_adaptive_plan,
+    pick_pilot,
+    variance_weights,
+)
+from zig_weekend_raytracer_tpu.sampling.sampler import SamplerKind
+
+
+def test_allocate_extra_conserves_and_caps():
+    rng = np.random.RandomState(0)
+    w = rng.rand(12, 17)
+    n = allocate_extra(w, 12 * 17 * 24, cap=200)
+    assert n.sum() == 12 * 17 * 24
+    assert n.min() >= 0 and n.max() <= 200
+    # heavier pixels get more (strict on a clear separation)
+    w2 = np.full((4, 4), 0.01)
+    w2[1, 1] = 10.0
+    n2 = allocate_extra(w2, 160, cap=1000)
+    assert n2.sum() == 160
+    assert n2[1, 1] > n2[0, 0] * 5
+
+    # cap binding everywhere still terminates and respects the cap
+    n3 = allocate_extra(np.ones((4, 4)), 16 * 50, cap=10)
+    assert n3.max() <= 10
+
+
+def test_build_adaptive_plan_partitions_ranges():
+    from zig_weekend_raytracer_tpu.ops.pallas_trace import BLK
+
+    rng = np.random.RandomState(1)
+    n_extra = rng.randint(0, 60, size=(8, 16)).astype(np.int64)
+    n_extra[0, 0] = 0  # zero-budget pixel gets no lane
+    pilot, lane_cap = 8, 16
+    px, py, s0, s1 = build_adaptive_plan(
+        n_extra, band_y0=24, pilot=pilot, tile=None, lane_cap=lane_cap
+    )
+    assert len(px) % BLK == 0
+    live = s1 > s0
+    assert ((s1 - s0)[live] <= lane_cap).all()
+    # per-pixel union of lane ranges is exactly [pilot, pilot + n)
+    got = {}
+    for x, y, a, b in zip(px[live], py[live], s0[live], s1[live]):
+        got.setdefault((y, x), []).append((a, b))
+    for (y, x), ranges in got.items():
+        n = n_extra[y - 24, x]
+        ranges.sort()
+        assert ranges[0][0] == pilot
+        assert ranges[-1][1] == pilot + n
+        for (a0, b0), (a1, b1) in zip(ranges, ranges[1:]):
+            assert b0 == a1  # contiguous, disjoint
+    covered = sum(b - a for rs in got.values() for a, b in rs)
+    assert covered == n_extra.sum()
+    assert (0, 0 + 0) not in got or n_extra[0 - 24, 0] > 0
+
+
+def test_variance_weights_tracks_noise():
+    a = np.zeros((6, 6, 3))
+    b = np.zeros((6, 6, 3))
+    b[3, 3] = 2.0  # one noisy pixel
+    w = variance_weights(a, b)
+    assert w[3, 3] == w.max() and w[3, 3] > 0
+    assert w[0, 0] == 0.0
+    assert w[3, 4] > 0  # smoothing spreads to neighbours
+
+
+def test_pick_pilot():
+    assert pick_pilot(64) == 8
+    assert pick_pilot(1024) == 128
+    assert pick_pilot(8) == 4
+    assert 2 <= pick_pilot(5) <= 2
+
+
+def test_adaptive_budget_and_mean(pallas_interpret):
+    scene = zwrt.models.load_scene("cornell_box")
+    r = Renderer(samples_per_pixel=32, max_ray_bounce_depth=5, seed=0)
+    fb, stats = r.render_adaptive(scene, 16, 16, return_stats=True)
+    fb = np.asarray(fb)
+    assert stats["n_samples"].sum() == 32 * 16 * 16  # exact budget
+    assert stats["n_samples"].min() >= stats["pilot"]
+    assert np.isfinite(fb).all()
+    fu = np.asarray(r.render(scene, 16, 16))
+    # unbiased: image means agree within MC tolerance
+    assert abs(fb.mean() - fu.mean()) < 0.15 * fu.mean()
+
+
+def test_adaptive_equal_budget_mse(pallas_interpret):
+    """The headline claim: at the SAME total budget, adaptive allocation
+    beats uniform against a high-spp reference (pooled over two seeds;
+    measured pooled ratio 0.67 on this config — reserve=0.5 bounds the
+    per-seed worst case, see adaptive._RESERVE)."""
+    scene = zwrt.models.load_scene("cornell_box")
+    ref = np.asarray(
+        Renderer(
+            samples_per_pixel=512, max_ray_bounce_depth=5, seed=7
+        ).render(scene, 16, 16)
+    )
+    mu = ma = 0.0
+    for seed in (0, 1):
+        r = Renderer(samples_per_pixel=32, max_ray_bounce_depth=5, seed=seed)
+        fu = np.asarray(r.render(scene, 16, 16))
+        fa = np.asarray(r.render_adaptive(scene, 16, 16, pilot_spp=8))
+        mu += float(((fu - ref) ** 2).mean())
+        ma += float(((fa - ref) ** 2).mean())
+    assert ma < 0.95 * mu, (ma, mu)
+
+
+def test_adaptive_stratified_raises():
+    scene = zwrt.models.load_scene("cornell_box")
+    r = Renderer(
+        samples_per_pixel=16, max_ray_bounce_depth=3,
+        sampler=SamplerKind.STRATIFIED,
+    )
+    with pytest.raises(ValueError, match="stratified"):
+        r.render_adaptive(scene, 8, 8)
+
+
+def test_adaptive_image_scene(pallas_interpret):
+    """Image-texture scenes ride the same balanced megakernel path (the
+    per-bounce kernel + atlas chain): budget conserved, image finite and
+    consistent with the uniform render's mean."""
+    scene = zwrt.models.load_scene("shrek_quads")
+    r = Renderer(samples_per_pixel=16, max_ray_bounce_depth=4, seed=0)
+    fb, stats = r.render_adaptive(scene, 12, 12, return_stats=True)
+    fb = np.asarray(fb)
+    assert stats["n_samples"].sum() == 16 * 12 * 12
+    assert np.isfinite(fb).all()
+    fu = np.asarray(r.render(scene, 12, 12))
+    assert abs(fb.mean() - fu.mean()) < 0.2 * fu.mean()
+
+
+def test_adaptive_xla_fallback_renders_uniform():
+    """Without the Pallas backend the adaptive entry point degrades to the
+    uniform render instead of failing."""
+    os.environ["ZWRT_NO_PALLAS"] = "1"
+    from zig_weekend_raytracer_tpu.ops.trace import _use_pallas_backend
+
+    _use_pallas_backend.cache_clear()
+    try:
+        scene = zwrt.models.load_scene("cornell_box")
+        r = Renderer(samples_per_pixel=4, max_ray_bounce_depth=3, seed=0)
+        fb, stats = r.render_adaptive(scene, 8, 8, return_stats=True)
+        np.testing.assert_array_equal(
+            np.asarray(fb), np.asarray(r.render(scene, 8, 8))
+        )
+        assert (stats["n_samples"] == 4).all()
+    finally:
+        del os.environ["ZWRT_NO_PALLAS"]
+        _use_pallas_backend.cache_clear()
+
+
+def test_cli_adaptive_rejects_shard():
+    from zig_weekend_raytracer_tpu.cli import main
+
+    rc = main([
+        "--image_width=8", "--image_height=8", "--adaptive=1",
+        "--shard=rows", "--image_out_path=/tmp/never.ppm",
+    ])
+    assert rc == 1

@@ -41,6 +41,12 @@ class UserArgs:
     # Unbiased path-tail termination; ignored on image-texture scenes
     # (render/integrator.py:trace_paths docstring).
     russian_roulette: int = 0
+    # Variance-guided adaptive sampling: 1 enables with an auto-sized
+    # pilot, N >= 2 pins the pilot spp.  Same TOTAL budget as a uniform
+    # --samples_per_pixel render, re-allocated per pixel by measured
+    # noise (render/adaptive.py).  Sobol/independent samplers only;
+    # incompatible with --shard.
+    adaptive: int = 0
     # Tracy-lite zone tables after the render:
     #   --profile / --profile=host    host wall-clock per named_zone
     #   --profile=device              per-kernel DEVICE ms from a
@@ -100,6 +106,11 @@ def main(argv=None) -> int:
     scene = load_scene(args.scene, seed=args.seed, asset_dir=args.asset_dir)
     timer.log_info_elapsed("scene initialized")
 
+    if args.adaptive and args.shard != "none":
+        print("error: --adaptive is single-device (drop --shard)",
+              file=sys.stderr)
+        return 1
+
     def do_render():
         if args.shard != "none":
             from .parallel import render_sharded
@@ -120,6 +131,13 @@ def main(argv=None) -> int:
             seed=args.seed,
             russian_roulette=args.russian_roulette,
         )
+        if args.adaptive:
+            import numpy as np
+
+            return np.asarray(renderer.render_adaptive(
+                scene, args.image_width, args.image_height,
+                pilot_spp=args.adaptive if args.adaptive >= 2 else 0,
+            ))
         return renderer.render(scene, args.image_width, args.image_height)
 
     device_table = None

@@ -567,6 +567,26 @@ class Renderer:
         src/render.zig:29-74)."""
         return np.asarray(self.render_device(scene, width, height))
 
+    def render_adaptive(
+        self,
+        scene: Scene,
+        width: int,
+        height: int,
+        *,
+        pilot_spp: int = 0,
+        return_stats: bool = False,
+    ):
+        """Variance-guided adaptive render at the same TOTAL sample budget
+        as ``render`` (samples_per_pixel x pixels), re-allocated per pixel
+        by measured noise — see render/adaptive.py.  Returns the averaged
+        (H, W, 3) framebuffer on device."""
+        from .adaptive import render_adaptive
+
+        return render_adaptive(
+            self, scene, width, height,
+            pilot_spp=pilot_spp, return_stats=return_stats,
+        )
+
     def render_device(
         self,
         scene: Scene,
