@@ -79,3 +79,32 @@ class TestWrite:
         # the chosen pixels genuinely exercise 1-, 2-, and 3-digit widths
         widths = {len(t) for t in toks}
         assert {1, 2, 3} <= widths
+
+
+class TestWriteImage:
+    """write_image: extension-dispatched output (PNG/JPEG beyond the
+    reference's PPM-only writer; .ppm stays byte-identical)."""
+
+    def test_png_roundtrip_matches_encode(self, tmp_path):
+        rng = np.random.RandomState(3)
+        fb = rng.rand(5, 7, 3).astype(np.float32) * 1.5
+        path = str(tmp_path / "img.png")
+        ppm.write_image(path, fb)
+        from PIL import Image
+
+        got = np.asarray(Image.open(path))
+        np.testing.assert_array_equal(got, ppm.encode_pixels(fb))
+
+    def test_ppm_path_unchanged(self, tmp_path):
+        fb = np.linspace(0, 1, 2 * 3 * 3, dtype=np.float32).reshape(2, 3, 3)
+        p1 = str(tmp_path / "a.ppm")
+        p2 = str(tmp_path / "b.ppm")
+        ppm.write_ppm(p1, fb)
+        ppm.write_image(p2, fb)
+        assert open(p1, "rb").read() == open(p2, "rb").read()
+
+    def test_unknown_extension_falls_back_to_ppm(self, tmp_path):
+        fb = np.zeros((1, 1, 3), np.float32)
+        path = str(tmp_path / "noext")
+        ppm.write_image(path, fb)
+        assert open(path, "rb").read().startswith(b"P3\n")

@@ -14,7 +14,7 @@ import logging
 import sys
 
 from .models import DEFAULT_ASSET_DIR, SceneType, load_scene
-from .io.ppm import write_ppm
+from .io.ppm import write_image
 from .render.renderer import Renderer
 from .sampling.sampler import SamplerKind
 from .utils.argparser import ArgParser, HelpPassedInArgs, ParseArgsError
@@ -150,7 +150,7 @@ def main(argv=None) -> int:
         fb = do_render()
     timer.log_info_elapsed("scene rendered")
 
-    write_ppm(args.image_out_path, fb, n_threads=args.thread_pool_size)
+    write_image(args.image_out_path, fb, n_threads=args.thread_pool_size)
     timer.log_info_elapsed("scene written to file")
 
     from .utils.profiler import format_zone_summary, profiling_enabled

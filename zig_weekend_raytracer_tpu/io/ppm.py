@@ -51,3 +51,20 @@ def write_ppm(path: str, fb: np.ndarray, n_threads: int = 0) -> None:
         native.write_ppm(path, pixels, n_threads=n_threads)
     else:
         _write_ppm_numpy(path, pixels)
+
+
+def write_image(path: str, fb: np.ndarray, n_threads: int = 0) -> None:
+    """Write a linear-space framebuffer, format chosen by extension.
+
+    ``.ppm`` (and anything unrecognized) takes the reference-parity P3
+    path above; ``.png`` / ``.jpg`` / ``.jpeg`` / ``.bmp`` encode the SAME
+    pixel bytes (encode_pixels — gamma-2, NaN scrub, [0, 0.999] clamp)
+    via PIL.  An extension convenience beyond the reference, which writes
+    PPM only and converts externally (README.md shows PNG examples)."""
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    if ext in ("png", "jpg", "jpeg", "bmp"):
+        from PIL import Image
+
+        Image.fromarray(encode_pixels(fb), "RGB").save(path)
+    else:
+        write_ppm(path, fb, n_threads=n_threads)
