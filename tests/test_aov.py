@@ -1,0 +1,86 @@
+"""First-hit AOV buffers (render/aov.py): albedo, normal, depth, coverage.
+
+Beyond-reference capability (denoiser/compositing inputs).  Custom
+one-primitive scenes pin exact values; cornell_box smoke-checks the
+integration (wall colors land in the albedo buffer)."""
+
+import numpy as np
+
+import zig_weekend_raytracer_tpu as zwrt
+from zig_weekend_raytracer_tpu.render.aov import render_aovs, write_aovs
+from zig_weekend_raytracer_tpu.scene import Camera, SceneBuilder
+
+
+def _wall_scene(color=(0.2, 0.5, 0.8)):
+    b = SceneBuilder()
+    mat = b.lambertian(b.solid_color(color))
+    b.add(b.quad((-50, -50, -1), (100, 0, 0), (0, 100, 0), mat))
+    b.set_background((0, 0, 0))
+    b.set_camera(Camera(look_from=(0, 0, 5), look_at=(0, 0, 0)))
+    return b.compile()
+
+
+def test_wall_albedo_normal_depth_exact():
+    scene = _wall_scene()
+    a = render_aovs(scene, 8, 8, spp=2)
+    assert a["coverage"].min() == 1.0  # wall fills the view
+    np.testing.assert_allclose(a["albedo"][..., 0], 0.2, atol=1e-6)
+    np.testing.assert_allclose(a["albedo"][..., 1], 0.5, atol=1e-6)
+    np.testing.assert_allclose(a["albedo"][..., 2], 0.8, atol=1e-6)
+    # quad normal u x v = +z, front-face oriented toward the camera
+    np.testing.assert_allclose(a["normal"][..., 2], 1.0, atol=1e-6)
+    np.testing.assert_allclose(a["normal"][..., :2], 0.0, atol=1e-6)
+    # camera rays are unnormalized (pixel point - origin; the viewport
+    # sits at the default focus distance 10), so the z=-1 wall at world
+    # distance 6 reads t = 6/10 for every pixel of this head-on view
+    np.testing.assert_allclose(a["depth"], 0.6, atol=1e-3)
+
+
+def test_dielectric_albedo_is_white():
+    b = SceneBuilder()
+    glass = b.dielectric(1.5)
+    b.add(b.sphere((0, 0, 0), 2.0, glass))
+    b.set_background((0.1, 0.1, 0.1))
+    b.set_camera(Camera(look_from=(0, 0, 5), look_at=(0, 0, 0)))
+    scene = b.compile()
+    a = render_aovs(scene, 9, 9, spp=2)
+    c = a["albedo"][4, 4]
+    assert a["coverage"][4, 4] == 1.0
+    np.testing.assert_allclose(c, 1.0, atol=1e-6)
+
+
+def test_miss_reads_background_and_zeroes():
+    b = SceneBuilder()
+    b.set_background((0.25, 0.5, 0.75))
+    b.set_camera(Camera(look_from=(0, 0, 5), look_at=(0, 0, 0)))
+    scene = b.compile()
+    a = render_aovs(scene, 6, 6, spp=2)
+    assert a["coverage"].max() == 0.0
+    np.testing.assert_allclose(a["albedo"][..., 0], 0.25, atol=1e-6)
+    np.testing.assert_allclose(a["albedo"][..., 2], 0.75, atol=1e-6)
+    np.testing.assert_allclose(a["normal"], 0.0, atol=0)
+    np.testing.assert_allclose(a["depth"], 0.0, atol=0)
+
+
+def test_cornell_walls_in_albedo():
+    scene = zwrt.models.load_scene("cornell_box")
+    a = render_aovs(scene, 16, 16, spp=2)
+    left = a["albedo"][:, :3]
+    right = a["albedo"][:, -3:]
+    assert left[..., 1].mean() > left[..., 0].mean()   # green wall
+    assert right[..., 0].mean() > right[..., 1].mean()  # red wall
+    assert np.isfinite(a["depth"]).all()
+    hit = a["coverage"] == 1.0
+    assert (a["depth"][hit] > 0).all()
+
+
+def test_write_aovs_pngs(tmp_path):
+    from PIL import Image
+
+    scene = _wall_scene()
+    a = render_aovs(scene, 8, 8, spp=1)
+    paths = write_aovs(str(tmp_path / "out.ppm"), a)
+    assert len(paths) == 3
+    for p in paths:
+        im = np.asarray(Image.open(p))
+        assert im.shape[:2] == (8, 8)

@@ -47,6 +47,10 @@ class UserArgs:
     # noise (render/adaptive.py).  Sobol/independent samplers only;
     # incompatible with --shard.
     adaptive: int = 0
+    # Also write first-hit AOV buffers (albedo/normal/depth PNGs for
+    # denoising/compositing, render/aov.py) next to the image as
+    # <image_out_path>.albedo.png etc.
+    aov: bool = False
     # Tracy-lite zone tables after the render:
     #   --profile / --profile=host    host wall-clock per named_zone
     #   --profile=device              per-kernel DEVICE ms from a
@@ -152,6 +156,17 @@ def main(argv=None) -> int:
 
     write_image(args.image_out_path, fb, n_threads=args.thread_pool_size)
     timer.log_info_elapsed("scene written to file")
+
+    if args.aov:
+        from .render.aov import render_aovs, write_aovs
+
+        aovs = render_aovs(
+            scene, args.image_width, args.image_height,
+            seed=args.seed, sampler=args.sampler,
+        )
+        for p in write_aovs(args.image_out_path, aovs):
+            logging.info("aov written: %s", p)
+        timer.log_info_elapsed("aovs written")
 
     from .utils.profiler import format_zone_summary, profiling_enabled
 

@@ -67,6 +67,26 @@ _SITES_PER_BOUNCE = 4
 RR_P_MIN = hashrng.RR_P_MIN
 
 
+def texture_rgb(scene, det) -> V3:
+    """Texture value at a hit from the denormalized shade record:
+    solid -> rgb; checker -> lattice parity picks rgb/rgb2 or an image
+    child (src/texture.zig:111-118); image -> atlas fetch.  Checker-in-
+    checker nesting can't flatten into one record, so those scenes
+    evaluate the general texture walk instead."""
+    parity = checker_parity(det.inv_scale, det.point)
+    odd = (det.tex_kind == 1) & (parity != 0)
+    tex_rgb = V3.where(odd, det.rgb2, det.rgb)
+    if scene.has_nested_checker:
+        return texture_value(scene, det.texid, det.u, det.v, det.point)
+    if scene.has_image_textures:
+        img_id = jnp.where(odd, det.img2, det.img)
+        img_rgb = atlas_lookup(
+            scene, jnp.maximum(img_id, 0), det.u, det.v
+        )
+        tex_rgb = V3.where(img_id >= 0, img_rgb, tex_rgb)
+    return tex_rgb
+
+
 class PathState(NamedTuple):
     origin: V3
     direction: V3
@@ -403,25 +423,7 @@ def trace_paths(
         )
 
         mat_type = det.mat_type
-
-        # ---- texture value from the denormalized record ----
-        # solid -> rgb; checker -> lattice parity picks rgb/rgb2 or an
-        # image child (src/texture.zig:111-118); image -> atlas fetch.
-        # Checker-in-checker nesting can't flatten into one record, so
-        # those scenes evaluate the general texture walk instead.
-        parity = checker_parity(det.inv_scale, det.point)
-        odd = (det.tex_kind == 1) & (parity != 0)
-        tex_rgb = V3.where(odd, det.rgb2, det.rgb)
-        if scene.has_nested_checker:
-            tex_rgb = texture_value(
-                scene, det.texid, det.u, det.v, det.point
-            )
-        elif scene.has_image_textures:
-            img_id = jnp.where(odd, det.img2, det.img)
-            img_rgb = atlas_lookup(
-                scene, jnp.maximum(img_id, 0), det.u, det.v
-            )
-            tex_rgb = V3.where(img_id >= 0, img_rgb, tex_rgb)
+        tex_rgb = texture_rgb(scene, det)
 
         # ---- emission (src/render.zig:232-240) ----
         is_emissive = mat_type == MAT_DIFFUSE_LIGHT
