@@ -36,6 +36,9 @@ class UserArgs:
     sampler: SamplerKind = SamplerKind.SOBOL
     seed: int = 0
     asset_dir: str = DEFAULT_ASSET_DIR
+    # Declarative JSON scene (models/scenefile.py schema); overrides
+    # --scene when set.
+    scene_file: str = ""
     shard: str = "none"  # none | samples | rows  (multi-chip)
     # Russian roulette start bounce (0 = off, reference semantics).
     # Unbiased path-tail termination; ignored on image-texture scenes
@@ -107,7 +110,19 @@ def main(argv=None) -> int:
 
         set_profiling(True)
 
-    scene = load_scene(args.scene, seed=args.seed, asset_dir=args.asset_dir)
+    if args.scene_file:
+        from .models import load_scene_file
+
+        try:
+            scene = load_scene_file(args.scene_file)
+        except (OSError, ValueError, KeyError) as e:
+            print(f"error: --scene_file {args.scene_file}: {e}",
+                  file=sys.stderr)
+            return 1
+    else:
+        scene = load_scene(
+            args.scene, seed=args.seed, asset_dir=args.asset_dir
+        )
     timer.log_info_elapsed("scene initialized")
 
     if args.adaptive and args.shard != "none":

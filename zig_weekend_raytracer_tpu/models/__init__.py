@@ -20,6 +20,7 @@ from .shrek_quads import load_scene_shrek_quads
 from .emissive import load_scene_emissive
 from .cornell_box import load_scene_cornell_box
 from .rtw_final import load_scene_rtw_final
+from .scenefile import load_scene_file
 
 DEFAULT_ASSET_DIR = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "..", "assets")
