@@ -172,3 +172,22 @@ def test_cli_adaptive_rejects_shard():
         "--shard=rows", "--image_out_path=/tmp/never.ppm",
     ])
     assert rc == 1
+
+
+def test_adaptive_composes_with_russian_roulette(pallas_interpret):
+    """Adaptive allocation + RR: budget conserved, image finite, mean in
+    family with the plain render (both features are estimator-preserving)."""
+    scene = zwrt.models.load_scene("cornell_box")
+    r = Renderer(
+        samples_per_pixel=32, max_ray_bounce_depth=6, seed=0,
+        russian_roulette=2,
+    )
+    fb, stats = r.render_adaptive(scene, 12, 12, return_stats=True)
+    fb = np.asarray(fb)
+    assert stats["n_samples"].sum() == 32 * 12 * 12
+    assert np.isfinite(fb).all()
+    base = np.asarray(
+        Renderer(samples_per_pixel=32, max_ray_bounce_depth=6, seed=0)
+        .render(scene, 12, 12)
+    )
+    assert abs(fb.mean() - base.mean()) < 0.15 * base.mean()

@@ -50,6 +50,9 @@ class UserArgs:
     # noise (render/adaptive.py).  Sobol/independent samplers only;
     # incompatible with --shard.
     adaptive: int = 0
+    # Print a throughput line after the render: paths traced, wall-clock,
+    # Mpaths/s (the headline metric BASELINE.md tracks).
+    stats: bool = False
     # Also write first-hit AOV buffers (albedo/normal/depth PNGs for
     # denoising/compositing, render/aov.py) next to the image as
     # <image_out_path>.albedo.png etc.
@@ -160,6 +163,9 @@ def main(argv=None) -> int:
         return renderer.render(scene, args.image_width, args.image_height)
 
     device_table = None
+    import time as _time
+
+    t_render0 = _time.perf_counter()
     if profile_mode == "device":
         from .utils.profiler import format_device_summary, run_with_device_trace
 
@@ -167,6 +173,7 @@ def main(argv=None) -> int:
         device_table = format_device_summary(agg)
     else:
         fb = do_render()
+    render_s = _time.perf_counter() - t_render0
     timer.log_info_elapsed("scene rendered")
 
     write_image(args.image_out_path, fb, n_threads=args.thread_pool_size)
@@ -182,6 +189,14 @@ def main(argv=None) -> int:
         for p in write_aovs(args.image_out_path, aovs):
             logging.info("aov written: %s", p)
         timer.log_info_elapsed("aovs written")
+
+    if args.stats:
+        paths = args.image_width * args.image_height * args.samples_per_pixel
+        print(
+            f"stats: {paths:,} paths in {render_s:.3f} s "
+            f"(incl. compile on first run) = "
+            f"{paths / render_s / 1e6:.2f} Mpaths/s"
+        )
 
     from .utils.profiler import format_zone_summary, profiling_enabled
 
