@@ -22,7 +22,9 @@ import pytest
 import zig_weekend_raytracer_tpu as zwrt
 
 GOLDEN_DIR = pathlib.Path(__file__).resolve().parent / "golden"
-SCENES = ["cornell_box", "emissive", "balls", "shrek_quads", "rtw_final"]
+SCENES = [
+    "cornell_box", "emissive", "balls", "shrek_quads", "rtw_final", "earth",
+]
 
 # Same-platform reruns are bitwise identical; the tolerance budget exists
 # only for XLA version-to-version fusion/reassociation drift.  A 10%

@@ -17,7 +17,9 @@ import sys
 import numpy as np
 
 CONFIG = {"width": 64, "height": 64, "spp": 32, "depth": 10, "seed": 0}
-SCENES = ["cornell_box", "emissive", "balls", "shrek_quads", "rtw_final"]
+SCENES = [
+    "cornell_box", "emissive", "balls", "shrek_quads", "rtw_final", "earth",
+]
 
 
 def main() -> None:
@@ -35,7 +37,8 @@ def main() -> None:
 
     out_dir = pathlib.Path(__file__).resolve().parent.parent / "tests" / "golden"
     out_dir.mkdir(exist_ok=True)
-    for name in SCENES:
+    # argv selects a subset (e.g. a newly added scene); default: all
+    for name in (sys.argv[1:] or SCENES):
         scene = zwrt.models.load_scene(name, seed=CONFIG["seed"])
         r = zwrt.render.Renderer(
             samples_per_pixel=CONFIG["spp"],

@@ -19,6 +19,7 @@ from .balls import load_scene_balls
 from .shrek_quads import load_scene_shrek_quads
 from .emissive import load_scene_emissive
 from .cornell_box import load_scene_cornell_box
+from .earth import load_scene_earth
 from .rtw_final import load_scene_rtw_final
 from .scenefile import load_scene_file
 
@@ -35,6 +36,9 @@ class SceneType(enum.Enum):
     EMISSIVE = "emissive"
     CORNELL_BOX = "cornell_box"
     RTW_FINAL = "rtw_final"
+    # extension: BASELINE config 2 (earth.png ships unused in the
+    # reference's assets — no reference scene to match, see models/earth.py)
+    EARTH = "earth"
 
 
 SCENE_BUILDERS: Dict[SceneType, Callable[..., Scene]] = {
@@ -43,6 +47,7 @@ SCENE_BUILDERS: Dict[SceneType, Callable[..., Scene]] = {
     SceneType.EMISSIVE: load_scene_emissive,
     SceneType.CORNELL_BOX: load_scene_cornell_box,
     SceneType.RTW_FINAL: load_scene_rtw_final,
+    SceneType.EARTH: load_scene_earth,
 }
 
 
