@@ -44,6 +44,10 @@ class UserArgs:
     # Unbiased path-tail termination; ignored on image-texture scenes
     # (render/integrator.py:trace_paths docstring).
     russian_roulette: int = 0
+    # Indirect luminance clamp (0 = off, reference semantics): biased
+    # firefly suppression — bounce >= 1 radiance contributions are
+    # luminance-scaled to at most this value.  Ignored on image scenes.
+    clamp_indirect: float = 0.0
     # Variance-guided adaptive sampling: 1 enables with an auto-sized
     # pilot, N >= 2 pins the pilot spp.  Same TOTAL budget as a uniform
     # --samples_per_pixel render, re-allocated per pixel by measured
@@ -141,7 +145,7 @@ def main(argv=None) -> int:
                 scene, args.image_width, args.image_height,
                 args.samples_per_pixel, args.ray_bounce_max_depth,
                 sampler=args.sampler, shard=args.shard, seed=args.seed,
-                rr=args.russian_roulette,
+                rr=args.russian_roulette, clamp=args.clamp_indirect,
             )
             import numpy as np
 
@@ -152,6 +156,7 @@ def main(argv=None) -> int:
             sampler=args.sampler,
             seed=args.seed,
             russian_roulette=args.russian_roulette,
+            clamp_indirect=args.clamp_indirect,
         )
         if args.adaptive:
             import numpy as np

@@ -1189,10 +1189,28 @@ def _bounce_core(
     fuzz_c = col(_C_FUZZ)
     refract_c = col(_C_REFRACT)
 
+    if cfg["clamp"]:
+        # Cycles-style indirect clamp (mirrors render/integrator.py):
+        # scale any bounce-d>=1 radiance contribution so its luminance
+        # stays <= clamp — biased firefly control, default off.
+        _cl = np.float32(cfg["clamp"])
+
+        def _clamp_contrib(c: V3) -> V3:
+            lum = 0.2126 * c.x + 0.7152 * c.y + 0.0722 * c.z
+            s = jnp.where(
+                (depth >= 1) & (lum > _cl),
+                _cl / jnp.maximum(lum, np.float32(1e-20)),
+                np.float32(1.0),
+            )
+            return c * s
+    else:
+        def _clamp_contrib(c: V3) -> V3:
+            return c
+
     background = cfg["background"]
     radiance = radiance + V3.where(
         missed,
-        throughput * V3(*(np.float32(b) for b in background)),
+        _clamp_contrib(throughput * V3(*(np.float32(b) for b in background))),
         V3.zeros(shape, real),
     )
 
@@ -1215,7 +1233,9 @@ def _bounce_core(
     # ---- emission (src/render.zig:232-240) ----
     is_emissive = mat_type == MAT_DIFFUSE_LIGHT
     emits = hitmask & is_emissive & front
-    radiance = V3.where(emits, radiance + throughput * tex_rgb, radiance)
+    radiance = V3.where(
+        emits, radiance + _clamp_contrib(throughput * tex_rgb), radiance
+    )
 
     # ---- metal (src/material.zig:163-178) ----
     reflected = v3.reflect(direction, normal)
@@ -1600,7 +1620,9 @@ def _scene_trace_inputs(scene: CompiledScene, cfg, ins, in_specs):
         cfg["quad_mode"] = TR_NONE
 
 
-def _base_cfg(scene: CompiledScene, t_min, terminate_zero, rr_start=0):
+def _base_cfg(
+    scene: CompiledScene, t_min, terminate_zero, rr_start=0, clamp=0.0,
+):
     return {
         "t_min": float(t_min),
         "has_moving": scene.has_moving,
@@ -1611,6 +1633,10 @@ def _base_cfg(scene: CompiledScene, t_min, terminate_zero, rr_start=0):
         # atlas factors there, so adaptive p would diverge from the XLA
         # twin (render/integrator.py:trace_paths docstring).
         "rr_start": int(rr_start) if not scene.has_image_textures else 0,
+        # Indirect luminance clamp (0 = off); same image-scene gate — the
+        # kernel's radiance deltas exclude deferred atlas factors, so a
+        # pre-factor clamp would diverge from the XLA twin.
+        "clamp": float(clamp) if not scene.has_image_textures else 0.0,
         "n_sph": scene.n_spheres,
         "n_quad": scene.n_quads,
         "lut_rows": scene.shade_lut.shape[1],
@@ -1707,6 +1733,7 @@ def bounce_pallas(
     seed, depth, t_min,
     terminate_zero: bool = True,
     rr_start: int = 0,
+    clamp: float = 0.0,
 ):
     """Run the fused bounce (trace included) for a wavefront.  Returns
     (origin', direction', throughput', radiance', alive', (u, v, img))."""
@@ -1741,7 +1768,7 @@ def bounce_pallas(
         + [_const_spec(scene.shade_lut.shape)]
         + [_const_spec(scene.mat_lut.shape)]
     )
-    cfg = _base_cfg(scene, t_min, terminate_zero, rr_start)
+    cfg = _base_cfg(scene, t_min, terminate_zero, rr_start, clamp)
     _scene_trace_inputs(scene, cfg, ins, in_specs)
 
     outs = _call_kernel(scene, cfg, ins, in_specs, g, 16)
@@ -1772,6 +1799,7 @@ def bounce_pallas_regen(
     terminate_zero: bool = True,
     work=None,
     rr_start: int = 0,
+    clamp: float = 0.0,
 ):
     """One regenerating bounce: dead lanes respawn their pixel's next sample
     (camera ray generated in-kernel) before tracing.  All array args must
@@ -1811,7 +1839,7 @@ def bounce_pallas_regen(
         + [_const_spec(scene.shade_lut.shape)]
         + [_const_spec(scene.mat_lut.shape)]
     )
-    cfg = _base_cfg(scene, t_min, terminate_zero, rr_start)
+    cfg = _base_cfg(scene, t_min, terminate_zero, rr_start, clamp)
     cfg["regen"] = {
         "camera": camera_consts,
         "sampler": sampler,
@@ -1886,6 +1914,7 @@ def render_fused(
     terminate_zero: bool = True,
     want_work: bool = False,
     rr_start: int = 0,
+    clamp: float = 0.0,
 ):
     """Whole-render megakernel driver: ONE pallas_call renders every
     (pixel, sample) work item — each ray tile loops over bounces in-kernel
@@ -1916,7 +1945,7 @@ def render_fused(
         + [_const_spec(scene.shade_lut.shape)]
         + [_const_spec(scene.mat_lut.shape)]
     )
-    cfg = _base_cfg(scene, t_min, terminate_zero, rr_start)
+    cfg = _base_cfg(scene, t_min, terminate_zero, rr_start, clamp)
     cfg["regen"] = {
         "camera": camera_consts,
         "sampler": sampler,

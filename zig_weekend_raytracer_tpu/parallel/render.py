@@ -57,6 +57,7 @@ def render_sharded(
     seed: int = 0,
     max_rays_per_chunk: int = 1 << 21,
     rr: int = 0,
+    clamp: float = 0.0,
 ):
     """Render across a device mesh.  Returns (H, W, 3) f32 averaged samples.
 
@@ -110,7 +111,7 @@ def render_sharded(
                         width=width, height=height, band_rows=band_rows,
                         s_par=s_par, spp=spp, sample_limit=limit,
                         max_depth=max_depth, sampler=sampler,
-                        has_dof=has_dof, cam_consts=cam_c, rr=rr,
+                        has_dof=has_dof, cam_consts=cam_c, rr=rr, clamp=clamp,
                     )
                     fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
                 return jax.lax.psum(fb[:height], AXIS) / real(spp)
@@ -142,7 +143,7 @@ def render_sharded(
                         s0_base + jnp.int32(c * spp_chunk),
                         width=width, height=height, band_rows=band_rows,
                         spp_chunk=spp_chunk, spp=spp, max_depth=max_depth,
-                        sampler=sampler, has_dof=has_dof, rr=rr,
+                        sampler=sampler, has_dof=has_dof, rr=rr, clamp=clamp,
                     )
                     fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
             return jax.lax.psum(fb[:height], AXIS) / real(spp)
@@ -177,7 +178,7 @@ def render_sharded(
                         width=width, height=height, band_rows=band_rows,
                         s_par=s_par, spp=spp, sample_limit=jnp.int32(spp),
                         max_depth=max_depth, sampler=sampler,
-                        has_dof=has_dof, cam_consts=cam_c, rr=rr,
+                        has_dof=has_dof, cam_consts=cam_c, rr=rr, clamp=clamp,
                     )
                     fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
                 return fb[:rows_local] / real(spp)
@@ -210,7 +211,7 @@ def render_sharded(
                         jnp.int32(c * spp_chunk),
                         width=width, height=height, band_rows=band_rows,
                         spp_chunk=spp_chunk, spp=spp, max_depth=max_depth,
-                        sampler=sampler, has_dof=has_dof, rr=rr,
+                        sampler=sampler, has_dof=has_dof, rr=rr, clamp=clamp,
                     )
                     fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
             return fb[:rows_local] / real(spp)

@@ -243,6 +243,7 @@ def render_adaptive(
             s_par=1, spp=spp, max_depth=renderer.max_ray_bounce_depth,
             sampler=renderer.sampler, has_dof=scene.camera.has_depth_of_field,
             cam_consts=cam_c, rr=renderer.russian_roulette,
+            clamp=renderer.clamp_indirect,
         )
         sum_a = _render_band_regen(
             sc, seed, jnp.int32(y0), jnp.int32(0),
@@ -279,6 +280,7 @@ def render_adaptive(
             sampler=renderer.sampler,
             has_dof=scene.camera.has_depth_of_field,
             cam_consts=cam_c, rr=renderer.russian_roulette,
+            clamp=renderer.clamp_indirect,
         )
         band_sum = (
             np.asarray(sum_a)[:rows]

@@ -130,6 +130,7 @@ def trace_paths_regen(
     terminate_zero_throughput: bool = True,
     want_work: bool = False,
     rr_start: int = 0,
+    clamp: float = 0.0,
 ):
     """Regenerating wavefront: each slot owns one pixel and sequentially
     path-traces samples ``first_sample, first_sample + stride, ...`` below
@@ -163,6 +164,7 @@ def trace_paths_regen(
             terminate_zero=terminate_zero_throughput,
             want_work=want_work,
             rr_start=rr_start,
+            clamp=clamp,
         )
 
     n = px.shape[0]
@@ -195,6 +197,7 @@ def trace_paths_regen(
                 terminate_zero=terminate_zero_throughput,
                 work=st.work if want_work else None,
                 rr_start=rr_start,
+                clamp=clamp,
             )
         if scene.has_image_textures:
             # Resolve the per-lane pending-atlas-event chain: walk the K
@@ -329,6 +332,7 @@ def trace_paths(
     max_depth: int,
     terminate_zero_throughput: bool = True,
     rr_start: int = 0,
+    clamp: float = 0.0,
 ) -> V3:
     """Estimate radiance for a wavefront of rays.  Returns V3 of (N,).
 
@@ -340,6 +344,11 @@ def trace_paths(
     semantics and all goldens).  Gated OFF on image-texture scenes: the
     kernel defers atlas factors out of its live throughput, so an adaptive
     p would diverge between the Pallas and XLA formulations there.
+
+    ``clamp`` > 0 enables the Cycles-style indirect clamp: any radiance
+    contribution landed at bounce d >= 1 is luminance-scaled down to at
+    most ``clamp`` — biased firefly suppression (direct light and the
+    d = 0 background stay exact).  Same image-scene gate as RR.
 
     Stream compaction (permuting live paths to the wavefront front) was
     prototyped in round 1 and REMOVED: XLA scatter on TPU measured far
@@ -365,6 +374,7 @@ def trace_paths(
         use_bounce_kernel = supports_bounce_kernel(scene)
 
     rr_on = rr_start > 0 and not scene.has_image_textures
+    clamp_on = clamp > 0 and not scene.has_image_textures
 
     def bounce_kernel(depth, st: PathState) -> PathState:
         """Fused Pallas bounce (ops/pallas_bounce.py): trace + shade +
@@ -377,6 +387,7 @@ def trace_paths(
                 seed, depth, T_MIN,
                 terminate_zero=terminate_zero_throughput,
                 rr_start=rr_start,
+                clamp=clamp,
             )
         )
         if scene.has_image_textures:
@@ -416,9 +427,23 @@ def trace_paths(
         hitmask = st.alive & hit_any
         missed = st.alive & ~hit_any
 
+        if clamp_on:
+            # mirrors ops/pallas_bounce.py:_bounce_core _clamp_contrib
+            def _clamp_contrib(c: V3) -> V3:
+                lum = 0.2126 * c.x + 0.7152 * c.y + 0.0722 * c.z
+                s = jnp.where(
+                    (depth >= 1) & (lum > clamp),
+                    real(clamp) / jnp.maximum(lum, real(1e-20)),
+                    real(1.0),
+                )
+                return c * s
+        else:
+            def _clamp_contrib(c: V3) -> V3:
+                return c
+
         radiance = st.radiance + V3.where(
             missed,
-            st.throughput * scene.background,
+            _clamp_contrib(st.throughput * scene.background),
             V3.zeros((n,), real),
         )
 
@@ -429,7 +454,8 @@ def trace_paths(
         is_emissive = mat_type == MAT_DIFFUSE_LIGHT
         emits = hitmask & is_emissive & det.front
         radiance = V3.where(
-            emits, radiance + st.throughput * tex_rgb, radiance
+            emits, radiance + _clamp_contrib(st.throughput * tex_rgb),
+            radiance,
         )
 
         # ---- metal (src/material.zig:163-178) ----

@@ -148,6 +148,7 @@ def _render_batch(
                 max_depth=renderer.max_ray_bounce_depth,
                 sampler=renderer.sampler, has_dof=has_dof,
                 cam_consts=cam_c, rr=renderer.russian_roulette,
+                clamp=renderer.clamp_indirect,
             )
             fb = fb.at[b * band_rows_r : (b + 1) * band_rows_r].add(out)
         return fb[:height]
@@ -169,6 +170,7 @@ def _render_batch(
                 sampler=renderer.sampler, has_dof=has_dof,
                 sample_limit=min(sample0 + spp_now, total_spp),
                 rr=renderer.russian_roulette,
+                clamp=renderer.clamp_indirect,
             )
             fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
     return fb[:height]

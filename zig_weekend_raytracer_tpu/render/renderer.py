@@ -110,7 +110,7 @@ def unflatten_radiance(rad, width, band_rows, spp_chunk, tile):
     jax.jit,
     static_argnames=(
         "width", "height", "band_rows", "spp_chunk", "spp",
-        "max_depth", "sampler", "has_dof", "sample_limit", "rr",
+        "max_depth", "sampler", "has_dof", "sample_limit", "rr", "clamp",
     ),
 )
 def _render_band(
@@ -130,6 +130,7 @@ def _render_band(
     has_dof: bool,
     sample_limit: int | None = None,
     rr: int = 0,
+    clamp: float = 0.0,
 ) -> jnp.ndarray:
     """Render one (row-band x sample-chunk) wavefront; returns the radiance
     sum over the chunk's samples, shape (band_rows, width, 3).
@@ -152,7 +153,7 @@ def _render_band(
         with named_zone("rayColorLine"):
             radiance = trace_paths(
                 scene, origin, direction, time, seed, ray_id, max_depth,
-                rr_start=rr,
+                rr_start=rr, clamp=clamp,
             )
         # Zero padded samples (last chunk when spp % spp_chunk != 0).
         valid = sidx < (spp if sample_limit is None else sample_limit)
@@ -166,7 +167,7 @@ def _render_band(
     jax.jit,
     static_argnames=(
         "width", "height", "band_rows", "s_par", "spp",
-        "max_depth", "sampler", "has_dof", "cam_consts", "want_work", "rr",
+        "max_depth", "sampler", "has_dof", "cam_consts", "want_work", "rr", "clamp",
     ),
 )
 def _render_band_regen(
@@ -188,6 +189,7 @@ def _render_band_regen(
     cam_consts,             # static float tuple (camera_consts)
     want_work: bool = False,
     rr: int = 0,
+    clamp: float = 0.0,
 ):
     """Regenerating-wavefront band render (Pallas bounce-kernel path): each
     of band_rows*width*s_par slots sequentially traces its pixel's samples
@@ -219,7 +221,7 @@ def _render_band_regen(
             scene, cam_consts, seed, px, py, sidx, limit,
             sampler=sampler, width=width, height=height, spp=spp,
             stride=s_par, max_depth=max_depth,
-            has_dof=has_dof, want_work=want_work, rr_start=rr,
+            has_dof=has_dof, want_work=want_work, rr_start=rr, clamp=clamp,
         )
         radiance = out[0] if want_work else out
         rad = radiance.to_array()[:n]
@@ -235,7 +237,7 @@ def _render_band_regen(
     jax.jit,
     static_argnames=(
         "width", "height", "band_rows", "spp", "max_depth", "sampler",
-        "has_dof", "cam_consts", "rr",
+        "has_dof", "cam_consts", "rr", "clamp",
     ),
 )
 def _render_band_balanced(
@@ -256,6 +258,7 @@ def _render_band_balanced(
     has_dof: bool,
     cam_consts,
     rr: int = 0,
+    clamp: float = 0.0,
 ) -> jnp.ndarray:
     """Balanced-plan band render: lanes carry explicit (pixel, sample-range)
     work items produced by ``build_balance_plan``; per-lane radiance sums are
@@ -267,7 +270,7 @@ def _render_band_balanced(
         radiance = trace_paths_regen(
             scene, cam_consts, seed, px, py, s0, s1,
             sampler=sampler, width=width, height=height, spp=spp,
-            stride=1, max_depth=max_depth, has_dof=has_dof, rr_start=rr,
+            stride=1, max_depth=max_depth, has_dof=has_dof, rr_start=rr, clamp=clamp,
         )
         pixflat = (py - band_y0) * width + px
         fb = jnp.zeros((band_rows * width, 3), real)
@@ -364,6 +367,11 @@ class Renderer:
     # survivors carry the 1/p weight (integrator.trace_paths docstring).
     # Ignored on image-texture scenes (kernel/XLA p would diverge there).
     russian_roulette: int = 0
+    # Indirect luminance clamp (0 = off, the reference semantics): any
+    # radiance contribution landed at bounce >= 1 is luminance-scaled to
+    # at most this value — biased firefly suppression, Cycles-style
+    # (integrator.trace_paths docstring).  Same image-scene gate as RR.
+    clamp_indirect: float = 0.0
 
     def chunk_geometry(self, scene: Scene, width: int, height: int, spp_req: int):
         """(spp_chunk, band_rows) chunk sizing shared by the one-shot and
@@ -466,7 +474,7 @@ class Renderer:
             spp=spp, sample_limit=spp_est,
             max_depth=self.max_ray_bounce_depth,
             sampler=self.sampler, has_dof=has_dof, cam_consts=cam_c,
-            want_work=True, rr=self.russian_roulette,
+            want_work=True, rr=self.russian_roulette, clamp=self.clamp_indirect,
         )
         lane_idx = tile_order_lane_index(width, band_rows, tile)
         work_px = np.asarray(work)[lane_idx.reshape(-1)].reshape(
@@ -485,7 +493,7 @@ class Renderer:
             jnp.asarray(s0), jnp.asarray(s1),
             width=width, height=height, band_rows=band_rows, spp=spp,
             max_depth=self.max_ray_bounce_depth, sampler=self.sampler,
-            has_dof=has_dof, cam_consts=cam_c, rr=self.russian_roulette,
+            has_dof=has_dof, cam_consts=cam_c, rr=self.russian_roulette, clamp=self.clamp_indirect,
         )
         return fb_est + out
 
@@ -516,7 +524,7 @@ class Renderer:
                 s_par=1, spp=spp, sample_limit=spp,
                 max_depth=self.max_ray_bounce_depth,
                 sampler=self.sampler, has_dof=has_dof, cam_consts=cam_c,
-                want_work=True, rr=self.russian_roulette,
+                want_work=True, rr=self.russian_roulette, clamp=self.clamp_indirect,
             )
             # keep the cost map on device; converted lazily at plan build
             while len(scene_cache) >= self._plan_cache_max_configs:
@@ -553,7 +561,7 @@ class Renderer:
             scene.compiled, seed, jnp.int32(band_y0), pxd, pyd, s0d, s1d,
             width=width, height=height, band_rows=band_rows, spp=spp,
             max_depth=self.max_ray_bounce_depth, sampler=self.sampler,
-            has_dof=has_dof, cam_consts=cam_c, rr=self.russian_roulette,
+            has_dof=has_dof, cam_consts=cam_c, rr=self.russian_roulette, clamp=self.clamp_indirect,
         )
 
     def render(
@@ -661,7 +669,7 @@ class Renderer:
                         s_par=s_par, spp=spp, sample_limit=spp,
                         max_depth=self.max_ray_bounce_depth,
                         sampler=self.sampler, has_dof=has_dof,
-                        cam_consts=cam_c, rr=self.russian_roulette,
+                        cam_consts=cam_c, rr=self.russian_roulette, clamp=self.clamp_indirect,
                     )
                 fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
             return fb[:height] / real(spp)
@@ -680,7 +688,7 @@ class Renderer:
                     spp_chunk=spp_chunk, spp=spp,
                     max_depth=self.max_ray_bounce_depth,
                     sampler=self.sampler, has_dof=has_dof,
-                    rr=self.russian_roulette,
+                    rr=self.russian_roulette, clamp=self.clamp_indirect,
                 )
                 fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
         return fb[:height] / real(spp)
