@@ -54,6 +54,10 @@ class UserArgs:
     # noise (render/adaptive.py).  Sobol/independent samplers only;
     # incompatible with --shard.
     adaptive: int = 0
+    # AOV-guided a-trous wavelet denoise (render/denoise.py): N filter
+    # iterations applied to the framebuffer before writing (0 = off).
+    # Computes the first-hit AOV buffers if --aov has not already.
+    denoise: int = 0
     # Print a throughput line after the render: paths traced, wall-clock,
     # Mpaths/s (the headline metric BASELINE.md tracks).
     stats: bool = False
@@ -181,16 +185,26 @@ def main(argv=None) -> int:
     render_s = _time.perf_counter() - t_render0
     timer.log_info_elapsed("scene rendered")
 
-    write_image(args.image_out_path, fb, n_threads=args.thread_pool_size)
-    timer.log_info_elapsed("scene written to file")
-
-    if args.aov:
-        from .render.aov import render_aovs, write_aovs
+    aovs = None
+    if args.aov or args.denoise:
+        from .render.aov import render_aovs
 
         aovs = render_aovs(
             scene, args.image_width, args.image_height,
             seed=args.seed, sampler=args.sampler,
         )
+    if args.denoise:
+        from .render.denoise import denoise
+
+        fb = denoise(fb, aovs, iterations=args.denoise)
+        timer.log_info_elapsed("denoised")
+
+    write_image(args.image_out_path, fb, n_threads=args.thread_pool_size)
+    timer.log_info_elapsed("scene written to file")
+
+    if args.aov:
+        from .render.aov import write_aovs
+
         for p in write_aovs(args.image_out_path, aovs):
             logging.info("aov written: %s", p)
         timer.log_info_elapsed("aovs written")

@@ -1,0 +1,137 @@
+"""Edge-aware à-trous wavelet denoiser guided by the first-hit AOVs.
+
+A production post-process the reference lacks: low-spp Monte-Carlo noise
+is smoothed with an edge-stopping à-trous wavelet filter (Dammertz et al.
+2010, the SVGF family's spatial pass) guided by the albedo / normal /
+depth buffers from render/aov.py.  Biased (it is a filter), opt-in.
+
+Pipeline per iteration i (hole size 2^i):
+  * 5x5 B3-spline taps, dilated by the hole size;
+  * each tap weighted by three edge stops against the center pixel —
+    normal (dot^sigma_n), depth (exp(-|dz| / (sigma_z * step))), and
+    demodulated luminance (exp(-|dl| / sigma_l)) — so energy never leaks
+    across geometry or shading discontinuities;
+  * weights renormalized per pixel.
+
+The color is DEMODULATED by albedo first (irradiance = color / albedo)
+and remodulated after, so texture detail survives arbitrarily aggressive
+smoothing — only the lighting is filtered.  The albedo doubles as the
+fourth edge stop: it is the only signal separating a flush emitter from
+the wall around it (same plane, same depth, equal demodulated
+irradiance) — without it the light bleeds onto the ceiling and MSE
+DEGRADES with iterations (measured 0.027 -> 0.34 at 4 iters).
+
+Defaults are the measured-best on cornell 32x32 @ 8 spp vs a 512-spp
+reference: iterations=3, sigma_l=1.0 gives MSE 0.0268 -> 0.0154 (-43%).
+SVGF-style variance modulation of the luminance stop (local 3x3 sigma of
+demodulated luminance) was prototyped and measured WORSE on this
+renderer's low-spp output (best 0.0165 vs 0.0154 fixed) — the spatial
+variance estimate is itself too noisy at 8 spp; the fixed stop stays.
+
+TPU mapping: the filter is 25 shifted multiply-adds per iteration over
+(H, W) arrays — pure VPU elementwise work XLA fuses well; no gathers, no
+data-dependent shapes.  Everything runs under jit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# 1D B3-spline; the 2D kernel is the outer product
+_B3 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
+_EPS = 1e-4
+
+
+def _shift2d(x, dy, dx):
+    """Shift a (H, W, C) array by (dy, dx) with edge clamping."""
+    h, w = x.shape[0], x.shape[1]
+    pad = [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))] + [
+        (0, 0)
+    ] * (x.ndim - 2)
+    xp = jnp.pad(x, pad, mode="edge")
+    return jax.lax.dynamic_slice_in_dim(
+        jax.lax.dynamic_slice_in_dim(xp, 0 if dy > 0 else -dy, h, 0),
+        0 if dx > 0 else -dx, w, 1,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "sigma_l", "sigma_z", "sigma_n", "sigma_a",
+    ),
+)
+def _atrous(color, albedo, normal, depth, *, iterations, sigma_l, sigma_z,
+            sigma_n, sigma_a):
+    alb = jnp.maximum(albedo, _EPS)
+    irr = color / alb
+    lum_w = jnp.asarray([0.2126, 0.7152, 0.0722], color.dtype)
+
+    out = irr
+    for i in range(iterations):
+        step = 1 << i
+        lum_c = (out * lum_w).sum(-1, keepdims=True)
+        acc = jnp.zeros_like(out)
+        wacc = jnp.zeros_like(lum_c)
+        for ty in range(-2, 3):
+            for tx in range(-2, 3):
+                k = _B3[ty + 2] * _B3[tx + 2]
+                dy, dx = ty * step, tx * step
+                irr_t = _shift2d(out, dy, dx)
+                n_t = _shift2d(normal, dy, dx)
+                z_t = _shift2d(depth[..., None], dy, dx)
+                lum_t = (irr_t * lum_w).sum(-1, keepdims=True)
+
+                w_n = jnp.maximum((normal * n_t).sum(-1, keepdims=True), 0.0)
+                w_n = w_n ** sigma_n
+                # RELATIVE depth stop: |dz| scaled by the center depth, so
+                # the stop is invariant to the camera-ray parameterization
+                # (cornell t ~ 100, wall scenes t ~ 1)
+                z_c = depth[..., None]
+                w_z = jnp.exp(
+                    -jnp.abs(z_c - z_t)
+                    / (sigma_z * step * (jnp.abs(z_c) + 1.0) + _EPS)
+                )
+                w_l = jnp.exp(-jnp.abs(lum_c - lum_t) / (sigma_l + _EPS))
+                # albedo stop: blocks mixing across MATERIAL boundaries —
+                # critically, a flush emitter vs. the wall around it, which
+                # normal and depth cannot separate (demodulation equalizes
+                # their irradiance, so w_l cannot either)
+                a_t = _shift2d(albedo, dy, dx)
+                w_a = jnp.exp(
+                    -jnp.abs(albedo - a_t).sum(-1, keepdims=True)
+                    / (sigma_a + _EPS)
+                )
+                w = k * w_n * w_z * w_l * w_a
+                acc = acc + irr_t * w
+                wacc = wacc + w
+        out = acc / jnp.maximum(wacc, _EPS)
+    return out * alb
+
+
+def denoise(color, aovs: dict, *, iterations: int = 3, sigma_l: float = 1.0,
+            sigma_z: float = 0.05, sigma_n: float = 64.0,
+            sigma_a: float = 0.1) -> np.ndarray:
+    """Denoise a linear (H, W, 3) framebuffer using the AOV dict from
+    render/aov.py (albedo, normal, depth).  Returns (H, W, 3) f32.
+
+    ``iterations`` filter passes with doubling hole size (0 = identity);
+    ``sigma_l`` luminance edge stop (bigger = smoother lighting);
+    ``sigma_z`` depth edge stop per dilation step; ``sigma_n`` normal
+    edge-stop exponent (bigger = stricter geometry edges)."""
+    if iterations <= 0:
+        return np.asarray(color, np.float32)
+    out = _atrous(
+        jnp.asarray(color, jnp.float32),
+        jnp.asarray(aovs["albedo"], jnp.float32),
+        jnp.asarray(aovs["normal"], jnp.float32),
+        jnp.asarray(aovs["depth"], jnp.float32),
+        iterations=int(iterations), sigma_l=float(sigma_l),
+        sigma_z=float(sigma_z), sigma_n=float(sigma_n),
+        sigma_a=float(sigma_a),
+    )
+    return np.asarray(out)
