@@ -60,3 +60,25 @@ def test_chunking_invariance(cornell):
     fb1 = r_big.render(cornell, 16, 16)
     fb2 = r_small.render(cornell, 16, 16)
     np.testing.assert_allclose(fb1, fb2, rtol=1e-4, atol=1e-6)
+
+
+def test_cli_shard_end_to_end(tmp_path):
+    """--shard=rows drives the full CLI stack over the virtual CPU mesh
+    (scene -> render_sharded -> PPM); the image matches the unsharded CLI
+    render after u8 quantization (content-addressed RNG invariance)."""
+    from PIL import Image
+
+    from zig_weekend_raytracer_tpu.cli import main
+
+    common = [
+        "--image_width=16", "--image_height=16", "--samples_per_pixel=4",
+        "--ray_bounce_max_depth=3", "--scene=cornell_box",
+    ]
+    p0, p1 = str(tmp_path / "a.ppm"), str(tmp_path / "b.ppm")
+    assert main(common + [f"--image_out_path={p0}"]) == 0
+    assert main(common + ["--shard=rows", f"--image_out_path={p1}"]) == 0
+    a = np.asarray(Image.open(p0), np.int16)
+    b = np.asarray(Image.open(p1), np.int16)
+    assert a.shape == (16, 16, 3)
+    # float-noise can flip a u8 by 1 on quantization boundaries
+    assert np.abs(a - b).max() <= 1
