@@ -1,9 +1,14 @@
 """Per-scene steady-state throughput microbench (experiment harness).
 
 Usage: python tools/scenebench.py <scene> [w] [h] [spp] [depth] [reps]
+                                  [--rr=N] [--clamp=X] [--adaptive[=pilot]]
+                                  [--denoise=N]
 
 Forces a host read per rep (the tunneled backend's block_until_ready
-returns early — same methodology as bench.py).
+returns early — same methodology as bench.py).  The optional flags
+benchmark the beyond-reference features: Russian roulette from bounce N,
+the indirect clamp, adaptive sampling at the same budget, and the
+AOV-guided denoiser (timed separately, including its AOV pass).
 """
 
 import sys
@@ -15,38 +20,76 @@ import numpy as np
 def main() -> None:
     import zig_weekend_raytracer_tpu as zwrt
 
-    scene_name = sys.argv[1] if len(sys.argv) > 1 else "cornell_box"
-    width = int(sys.argv[2]) if len(sys.argv) > 2 else 400
-    height = int(sys.argv[3]) if len(sys.argv) > 3 else 400
-    spp = int(sys.argv[4]) if len(sys.argv) > 4 else 128
-    depth = int(sys.argv[5]) if len(sys.argv) > 5 else 10
-    reps = int(sys.argv[6]) if len(sys.argv) > 6 else 3
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(
+        a[2:].split("=", 1) if "=" in a else (a[2:], "1")
+        for a in sys.argv[1:] if a.startswith("--")
+    )
+    scene_name = args[0] if len(args) > 0 else "cornell_box"
+    width = int(args[1]) if len(args) > 1 else 400
+    height = int(args[2]) if len(args) > 2 else 400
+    spp = int(args[3]) if len(args) > 3 else 128
+    depth = int(args[4]) if len(args) > 4 else 10
+    reps = int(args[5]) if len(args) > 5 else 3
+    rr = int(opts.get("rr", 0))
+    clamp = float(opts.get("clamp", 0.0))
+    adaptive = int(opts.get("adaptive", 0))
+    denoise_iters = int(opts.get("denoise", 0))
 
     scene = zwrt.models.load_scene(scene_name)
     renderer = zwrt.render.Renderer(
-        samples_per_pixel=spp, max_ray_bounce_depth=depth
+        samples_per_pixel=spp, max_ray_bounce_depth=depth,
+        russian_roulette=rr, clamp_indirect=clamp,
     )
 
+    def run():
+        if adaptive:
+            out = renderer.render_adaptive(
+                scene, width, height,
+                pilot_spp=adaptive if adaptive >= 2 else 0,
+            )
+        else:
+            out = renderer.render_device(scene, width, height)
+        float(np.asarray(out).sum()) if adaptive else float(out.sum())
+        return out
+
     t0 = time.time()
-    fb = renderer.render_device(scene, width, height)
-    float(fb.sum())
+    fb = run()
     warm = time.time() - t0
 
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
-        fb = renderer.render_device(scene, width, height)
-        float(fb.sum())
+        fb = run()
         best = min(best, time.time() - t0)
 
     fb_host = np.asarray(fb)
     nan = bool(np.isnan(fb_host).any())
     mpaths = width * height * spp / best / 1e6
+    tag = "".join(
+        [f" rr={rr}" if rr else "", f" clamp={clamp}" if clamp else "",
+         " adaptive" if adaptive else ""]
+    )
     print(
-        f"{scene_name} {width}x{height}@{spp}spp d{depth}: "
+        f"{scene_name} {width}x{height}@{spp}spp d{depth}{tag}: "
         f"best {best:.3f}s ({mpaths:.1f} Mpaths/s), warm {warm:.1f}s, "
         f"nan={nan}, mean={fb_host.mean():.4f}"
     )
+
+    if denoise_iters:
+        from zig_weekend_raytracer_tpu.render.aov import render_aovs
+        from zig_weekend_raytracer_tpu.render.denoise import denoise
+
+        t0 = time.time()
+        aovs = render_aovs(scene, width, height, seed=renderer.seed)
+        t_aov = time.time() - t0
+        t0 = time.time()
+        dn = denoise(fb_host, aovs, iterations=denoise_iters)
+        t_dn = time.time() - t0
+        print(
+            f"  denoise({denoise_iters}): aov pass {t_aov:.3f}s + filter "
+            f"{t_dn:.3f}s, mean={dn.mean():.4f}"
+        )
 
 
 if __name__ == "__main__":
