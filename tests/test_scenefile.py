@@ -149,6 +149,13 @@ def test_image_texture_resolves_relative_to_file(tmp_path):
         (lambda d: d["entities"].append(
             {"sphere": {"center": [0, 0, 0], "radius": 1,
                         "material": "nope"}}), "unknown material 'nope'"),
+        (lambda d: d["entities"].append(
+            {"translate": {"offset": [0, 0, 0],
+                           "child": {"sphere": {"center": [0, 5, 0],
+                                                 "radius": 1,
+                                                 "material": "floor"},
+                                     "light": True}}}),
+         "only supported on top-level"),
     ],
 )
 def test_schema_errors(tmp_path, mutate, match):

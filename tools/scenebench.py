@@ -25,6 +25,12 @@ def main() -> None:
         a[2:].split("=", 1) if "=" in a else (a[2:], "1")
         for a in sys.argv[1:] if a.startswith("--")
     )
+    unknown = set(opts) - {"rr", "clamp", "adaptive", "denoise"}
+    if unknown:
+        raise SystemExit(
+            f"unknown flags {sorted(unknown)} "
+            "(valid: --rr --clamp --adaptive --denoise)"
+        )
     scene_name = args[0] if len(args) > 0 else "cornell_box"
     width = int(args[1]) if len(args) > 1 else 400
     height = int(args[2]) if len(args) > 2 else 400

@@ -126,7 +126,8 @@ def main(argv=None) -> int:
 
         try:
             scene = load_scene_file(args.scene_file)
-        except (OSError, ValueError, KeyError) as e:
+        except (OSError, ValueError, KeyError, TypeError,
+                AttributeError) as e:
             print(f"error: --scene_file {args.scene_file}: {e}",
                   file=sys.stderr)
             return 1

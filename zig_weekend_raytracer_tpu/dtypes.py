@@ -40,3 +40,11 @@ INF = real_np(np.inf)
 
 # Largest float strictly below 1.0 in f32 (reference: src/math/sampler.zig:7).
 ONE_MINUS_EPS = np.float32(np.nextafter(np.float32(1.0), np.float32(0.0)))
+
+# Rec.709 luminance weights, shared by every module that reduces RGB to
+# luminance — CRITICALLY the indirect-clamp twins (render/integrator.py and
+# ops/pallas_bounce.py), which must agree bitwise, plus the adaptive
+# sampler's noise proxy and the denoiser's edge stop.
+LUM_R = real_np(0.2126)
+LUM_G = real_np(0.7152)
+LUM_B = real_np(0.0722)

@@ -117,7 +117,13 @@ def _build_materials(b: SceneBuilder, spec: dict, tex: dict) -> dict:
     return ids
 
 
-def _build_entity(b: SceneBuilder, e: dict, mats: dict):
+def _build_entity(b: SceneBuilder, e: dict, mats: dict, top: bool = False):
+    if not top and e.get("light"):
+        # nested lights would silently miss the importance-sampling list
+        raise ValueError(
+            '"light": true is only supported on top-level entities — '
+            "lift the emitter out of its translate/rotate_y/collection"
+        )
     spec = {k: v for k, v in e.items() if k != "light"}
     if len(spec) != 1:
         raise ValueError(f"entity: expected one kind key, got {sorted(spec)}")
@@ -203,7 +209,7 @@ def load_scene_file(path: str, name: str | None = None) -> Scene:
 
     lights = []
     for e in doc.get("entities", []):
-        node = b.add(_build_entity(b, e, mats))
+        node = b.add(_build_entity(b, e, mats, top=True))
         if e.get("light"):
             lights.append(node)
     if lights:

@@ -55,7 +55,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..dtypes import AABB_MAX_MULT, T_MIN_PDF, real
+from ..dtypes import AABB_MAX_MULT, LUM_B, LUM_G, LUM_R, T_MIN_PDF, real
 from ..materials import schlick_reflectance, scattering_pdf
 from ..math import v3
 from ..math.v3 import V3
@@ -1196,7 +1196,7 @@ def _bounce_core(
         _cl = np.float32(cfg["clamp"])
 
         def _clamp_contrib(c: V3) -> V3:
-            lum = 0.2126 * c.x + 0.7152 * c.y + 0.0722 * c.z
+            lum = LUM_R * c.x + LUM_G * c.y + LUM_B * c.z
             s = jnp.where(
                 (depth >= 1) & (lum > _cl),
                 _cl / jnp.maximum(lum, np.float32(1e-20)),

@@ -36,6 +36,8 @@ import logging
 import numpy as np
 import jax.numpy as jnp
 
+from ..dtypes import LUM_B, LUM_G, LUM_R
+
 log = logging.getLogger(__name__)
 
 # Smoothing kernel half-width for the variance proxy: the half-difference
@@ -61,7 +63,10 @@ def variance_weights(half_a: np.ndarray, half_b: np.ndarray) -> np.ndarray:
     Carlo sigma at the pilot sample count; luminance-weighted and 3x3
     box-smoothed.  Returns (rows, W) float64 >= 0."""
     d = np.abs(half_a.astype(np.float64) - half_b.astype(np.float64))
-    lum = 0.2126 * d[..., 0] + 0.7152 * d[..., 1] + 0.0722 * d[..., 2]
+    lum = (
+        float(LUM_R) * d[..., 0] + float(LUM_G) * d[..., 1]
+        + float(LUM_B) * d[..., 2]
+    )
     p = np.pad(lum, _SMOOTH, mode="edge")
     rows, width = lum.shape
     k = 2 * _SMOOTH + 1
@@ -253,10 +258,10 @@ def render_adaptive(
             sc, seed, jnp.int32(y0), jnp.int32(half),
             sample_limit=pilot, **kw,
         )
-        a = np.asarray(sum_a)[:rows] / half
-        bb = np.asarray(sum_b)[:rows] / half
+        sa = np.asarray(sum_a)[:rows]  # one device->host copy per half
+        sb = np.asarray(sum_b)[:rows]
 
-        weight = variance_weights(a, bb)
+        weight = variance_weights(sa / half, sb / half)
         base = int((spp - pilot) * _RESERVE)
         n_extra = base + allocate_extra(
             weight, (spp - pilot - base) * rows * width, cap - base
@@ -282,11 +287,7 @@ def render_adaptive(
             cam_consts=cam_c, rr=renderer.russian_roulette,
             clamp=renderer.clamp_indirect,
         )
-        band_sum = (
-            np.asarray(sum_a)[:rows]
-            + np.asarray(sum_b)[:rows]
-            + np.asarray(extra)[:rows]
-        )
+        band_sum = sa + sb + np.asarray(extra)[:rows]
         n_pix = pilot + n_extra
         fb[y0 : y0 + rows] = band_sum / n_pix[..., None]
         counts[y0 : y0 + rows] = n_pix

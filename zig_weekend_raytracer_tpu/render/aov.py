@@ -9,10 +9,12 @@ shade_attrs + texture_rgb (the denormalized shade record).  No new kernel:
 a single-bounce wavefront is trace-dominated and XLA fuses the shading
 tail.
 
-Buffers (all averaged over the hitting samples of each pixel):
-  * ``albedo`` (H, W, 3) — texture/material color at the first hit;
-    dielectrics read as white (specular transmission carries no albedo),
-    misses as the scene background.
+Buffers:
+  * ``albedo`` (H, W, 3) — texture/material color at the first hit,
+    averaged over ALL samples with misses reading the scene background
+    (dielectrics read as white — specular transmission carries no
+    albedo) — so partially-covered pixels blend toward the background,
+    matching what the beauty pass shows there.
   * ``normal`` (H, W, 3) — front-face-oriented shading normal (zero on
     miss; the mean over samples is NOT renormalized, matching denoiser
     convention for pixels with mixed coverage).

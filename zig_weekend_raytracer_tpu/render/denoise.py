@@ -41,6 +41,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..dtypes import LUM_B, LUM_G, LUM_R
+
 # 1D B3-spline; the 2D kernel is the outer product
 _B3 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
 _EPS = 1e-4
@@ -69,7 +71,7 @@ def _atrous(color, albedo, normal, depth, *, iterations, sigma_l, sigma_z,
             sigma_n, sigma_a):
     alb = jnp.maximum(albedo, _EPS)
     irr = color / alb
-    lum_w = jnp.asarray([0.2126, 0.7152, 0.0722], color.dtype)
+    lum_w = jnp.asarray([LUM_R, LUM_G, LUM_B], color.dtype)
 
     out = irr
     for i in range(iterations):

@@ -39,7 +39,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..dtypes import INF, T_MIN, real
+from ..dtypes import INF, LUM_B, LUM_G, LUM_R, T_MIN, real
 from ..materials import schlick_reflectance, scattering_pdf
 from ..math import v3
 from ..math.v3 import V3
@@ -430,7 +430,7 @@ def trace_paths(
         if clamp_on:
             # mirrors ops/pallas_bounce.py:_bounce_core _clamp_contrib
             def _clamp_contrib(c: V3) -> V3:
-                lum = 0.2126 * c.x + 0.7152 * c.y + 0.0722 * c.z
+                lum = LUM_R * c.x + LUM_G * c.y + LUM_B * c.z
                 s = jnp.where(
                     (depth >= 1) & (lum > clamp),
                     real(clamp) / jnp.maximum(lum, real(1e-20)),
