@@ -90,6 +90,13 @@ def _atrous(color, albedo, normal, depth, *, iterations, sigma_l, sigma_z,
 
                 w_n = jnp.maximum((normal * n_t).sum(-1, keepdims=True), 0.0)
                 w_n = w_n ** sigma_n
+                # miss pixels carry a zero normal: dot == 0 against
+                # EVERYTHING including themselves, which would zero the
+                # whole sky (0/eps).  Let misses mix with misses (w 1);
+                # hit<->miss stays blocked by the zero dot.
+                c_miss = (normal * normal).sum(-1, keepdims=True) < 0.5
+                t_miss = (n_t * n_t).sum(-1, keepdims=True) < 0.5
+                w_n = jnp.where(c_miss, t_miss.astype(w_n.dtype), w_n)
                 # RELATIVE depth stop: |dz| scaled by the center depth, so
                 # the stop is invariant to the camera-ray parameterization
                 # (cornell t ~ 100, wall scenes t ~ 1)
