@@ -191,3 +191,21 @@ def test_adaptive_composes_with_russian_roulette(pallas_interpret):
         .render(scene, 12, 12)
     )
     assert abs(fb.mean() - base.mean()) < 0.15 * base.mean()
+
+
+def test_adaptive_multiband(pallas_interpret):
+    """A small max_rays_per_chunk forces multiple row bands through the
+    adaptive driver (per-band pilot + allocation + pad-row handling):
+    budget stays exactly conserved per band and the image stays finite."""
+    scene = zwrt.models.load_scene("cornell_box")
+    r = Renderer(
+        samples_per_pixel=16, max_ray_bounce_depth=4, seed=0,
+        max_rays_per_chunk=16 * 5,  # 5 rows per band over a 16x16 image
+    )
+    fb, stats = r.render_adaptive(scene, 16, 16, return_stats=True)
+    fb = np.asarray(fb)
+    ns = stats["n_samples"]
+    assert np.isfinite(fb).all()
+    # conservation holds per band: rows [0:5], [5:10], [10:15], [15:16]
+    for y0, y1 in ((0, 5), (5, 10), (10, 15), (15, 16)):
+        assert ns[y0:y1].sum() == 16 * (y1 - y0) * 16, (y0, y1)
