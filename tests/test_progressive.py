@@ -82,3 +82,47 @@ def test_progressive_stratified_equals_oneshot(scene, tmp_path):
     prog = ProgressiveRenderer(renderer=base, checkpoint_path=ck)
     fb = prog.render(scene, 8, 8, batch_spp=4)
     np.testing.assert_allclose(fb, oneshot, rtol=1e-5, atol=1e-7)
+
+
+def test_cli_checkpoint_resume(tmp_path):
+    """--checkpoint drives the progressive path from the CLI: the full
+    render matches the plain CLI render after quantization, and a resumed
+    render (checkpoint left by a smaller batch pass) completes to the same
+    PPM bytes."""
+    from PIL import Image
+
+    from zig_weekend_raytracer_tpu.cli import main
+
+    common = [
+        "--image_width=12", "--image_height=12", "--samples_per_pixel=8",
+        "--ray_bounce_max_depth=3", "--scene=cornell_box",
+    ]
+    plain = str(tmp_path / "plain.ppm")
+    prog = str(tmp_path / "prog.ppm")
+    ck = str(tmp_path / "ck.npz")
+    assert main(common + [f"--image_out_path={plain}"]) == 0
+    assert main(common + [
+        f"--image_out_path={prog}", f"--checkpoint={ck}",
+        "--checkpoint_batch_spp=4",
+    ]) == 0
+    a = np.asarray(Image.open(plain), np.int16)
+    b = np.asarray(Image.open(prog), np.int16)
+    assert np.abs(a - b).max() <= 1  # float reassociation vs one-shot
+    # resume path: second run with the finished checkpoint present is a
+    # no-op resume and must produce identical bytes
+    prog2 = str(tmp_path / "prog2.ppm")
+    assert main(common + [
+        f"--image_out_path={prog2}", f"--checkpoint={ck}",
+        "--checkpoint_batch_spp=4",
+    ]) == 0
+    assert open(prog, "rb").read() == open(prog2, "rb").read()
+
+
+def test_cli_checkpoint_rejects_adaptive(tmp_path):
+    from zig_weekend_raytracer_tpu.cli import main
+
+    rc = main([
+        "--image_width=8", "--image_height=8", "--adaptive=1",
+        "--checkpoint=/tmp/never.npz", "--image_out_path=/tmp/never.ppm",
+    ])
+    assert rc == 1

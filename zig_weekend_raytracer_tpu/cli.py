@@ -54,6 +54,13 @@ class UserArgs:
     # noise (render/adaptive.py).  Sobol/independent samplers only;
     # incompatible with --shard.
     adaptive: int = 0
+    # Progressive rendering with atomic checkpoint/resume
+    # (render/progressive.py): renders in sample batches, checkpointing
+    # to this npz path after each; an interrupted render resumes from it
+    # bitwise-identically.  Single-device; not combinable with --adaptive.
+    checkpoint: str = ""
+    # Samples per progressive batch (with --checkpoint).
+    checkpoint_batch_spp: int = 16
     # AOV-guided a-trous wavelet denoise (render/denoise.py): N filter
     # iterations applied to the framebuffer before writing (0 = off).
     # Computes the first-hit AOV buffers if --aov has not already.
@@ -141,6 +148,10 @@ def main(argv=None) -> int:
         print("error: --adaptive is single-device (drop --shard)",
               file=sys.stderr)
         return 1
+    if args.checkpoint and (args.adaptive or args.shard != "none"):
+        print("error: --checkpoint is a plain single-device render "
+              "(drop --adaptive/--shard)", file=sys.stderr)
+        return 1
 
     def do_render():
         if args.shard != "none":
@@ -170,6 +181,15 @@ def main(argv=None) -> int:
                 scene, args.image_width, args.image_height,
                 pilot_spp=args.adaptive if args.adaptive >= 2 else 0,
             ))
+        if args.checkpoint:
+            from .render.progressive import ProgressiveRenderer
+
+            return ProgressiveRenderer(
+                renderer, checkpoint_path=args.checkpoint
+            ).render(
+                scene, args.image_width, args.image_height,
+                batch_spp=args.checkpoint_batch_spp,
+            )
         return renderer.render(scene, args.image_width, args.image_height)
 
     device_table = None
