@@ -84,3 +84,28 @@ def test_write_aovs_pngs(tmp_path):
     for p in paths:
         im = np.asarray(Image.open(p))
         assert im.shape[:2] == (8, 8)
+
+
+def test_aovs_on_kernel_backend_match_xla(pallas_interpret):
+    """On TPU the AOV pass traces through the Pallas streaming kernel;
+    interpret mode pins it against the XLA tracer used on CPU."""
+    import os
+
+    scene = zwrt.models.load_scene("cornell_box")
+    a_kernel = render_aovs(scene, 12, 12, spp=2)
+
+    os.environ["ZWRT_NO_PALLAS"] = "1"
+    from zig_weekend_raytracer_tpu.ops.trace import _use_pallas_backend
+
+    _use_pallas_backend.cache_clear()
+    try:
+        a_ref = render_aovs(scene, 12, 12, spp=2)
+    finally:
+        del os.environ["ZWRT_NO_PALLAS"]
+        _use_pallas_backend.cache_clear()
+
+    np.testing.assert_array_equal(a_kernel["coverage"], a_ref["coverage"])
+    for key in ("albedo", "normal", "depth"):
+        np.testing.assert_allclose(
+            a_kernel[key], a_ref[key], rtol=3e-4, atol=1e-3,
+        )
