@@ -52,6 +52,7 @@ CONFIGS = [
     ("balls", 200, 200, 32, 10),
     ("shrek_quads", 200, 200, 64, 10),
     ("rtw_final", 200, 200, 32, 8),
+    ("earth", 200, 200, 32, 10),
 ]
 
 
@@ -61,8 +62,17 @@ def main() -> None:
     # would make every regenerated golden mis-scored.
     from zig_weekend_raytracer_tpu.utils.goldengate import region_means
 
+    # argv selects a subset (e.g. a newly added scene) to regenerate into
+    # the existing file; default regenerates everything
+    only = set(sys.argv[1:])
     payload = {"grid": GRID, "scenes": {}}
+    if only and os.path.exists(OUT):
+        with open(OUT) as f:
+            payload = json.load(f)
+        assert payload.get("grid") == GRID
     for name, w, h, spp, depth in CONFIGS:
+        if only and name not in only:
+            continue
         scene = zwrt.models.load_scene(name)
         fb = np.asarray(
             zwrt.render.Renderer(
