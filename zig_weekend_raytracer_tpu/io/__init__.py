@@ -2,5 +2,5 @@
 fallback) and texture image decode (native stb decoder with a PIL fallback).
 """
 
-from .ppm import encode_pixels, write_ppm
+from .ppm import encode_pixels, write_image, write_ppm
 from .image import load_image
