@@ -88,21 +88,36 @@ def test_write_aovs_pngs(tmp_path):
 
 def test_aovs_on_kernel_backend_match_xla(pallas_interpret):
     """On TPU the AOV pass traces through the Pallas streaming kernel;
-    interpret mode pins it against the XLA tracer used on CPU."""
+    interpret mode pins it against the XLA tracer used on CPU.
+
+    Unlike Renderer-level backend tests (where the driver picks a
+    DIFFERENT jitted function per backend), _aov_band bakes the backend
+    choice in at trace time — the jit cache must be cleared when the env
+    flips, or the 'reference' render replays the kernel executable and
+    the test compares the kernel against itself."""
     import os
 
+    import jax
+
     scene = zwrt.models.load_scene("cornell_box")
+    jax.clear_caches()
     a_kernel = render_aovs(scene, 12, 12, spp=2)
 
+    prior = os.environ.get("ZWRT_NO_PALLAS")
     os.environ["ZWRT_NO_PALLAS"] = "1"
     from zig_weekend_raytracer_tpu.ops.trace import _use_pallas_backend
 
     _use_pallas_backend.cache_clear()
+    jax.clear_caches()
     try:
         a_ref = render_aovs(scene, 12, 12, spp=2)
     finally:
-        del os.environ["ZWRT_NO_PALLAS"]
+        if prior is None:
+            del os.environ["ZWRT_NO_PALLAS"]
+        else:
+            os.environ["ZWRT_NO_PALLAS"] = prior
         _use_pallas_backend.cache_clear()
+        jax.clear_caches()
 
     np.testing.assert_array_equal(a_kernel["coverage"], a_ref["coverage"])
     for key in ("albedo", "normal", "depth"):

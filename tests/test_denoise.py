@@ -98,7 +98,6 @@ def test_texture_detail_survives_demodulation():
         a = img.reshape(-1, 3).mean(1) - img.mean()
         b = alb.reshape(-1, 3).mean(1) - alb.mean()
         return float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
-    k = np.ones((5, 5), np.float32) / 25.0
     blur = np.stack([
         sum(np.roll(np.roll(noisy[..., c], dy, 0), dx, 1)
             for dy in range(-2, 3) for dx in range(-2, 3)) / 25.0

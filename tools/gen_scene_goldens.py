@@ -1,10 +1,11 @@
-"""Generate CPU/XLA region-statistics references for ALL five scenes.
+"""Generate CPU/XLA region-statistics references for every model-zoo scene.
 
 Companion to tools/gen_bench_golden.py (which covers only the bench's
 cornell config): each scene exercises a different compiled-kernel path on
 real hardware — cornell/emissive the fused megakernel, balls the
 DoF + motion-blur sphere tree, shrek_quads the atlas suspend/resume loop,
-rtw_final the two-tree walk with K-slot atlas chains — so a per-scene gate
+rtw_final the two-tree walk with K-slot atlas chains, earth the
+sphere-UV atlas + checker mix — so a per-scene gate
 catches Mosaic miscompiles the cornell-only bench gate cannot see.
 
 The configs are deliberately smaller than the bench (200x200, 32-64 spp):
@@ -65,8 +66,17 @@ def main() -> None:
     # argv selects a subset (e.g. a newly added scene) to regenerate into
     # the existing file; default regenerates everything
     only = set(sys.argv[1:])
+    known = {c[0] for c in CONFIGS}
+    if only - known:
+        raise SystemExit(f"unknown scenes {sorted(only - known)}; "
+                         f"valid: {sorted(known)}")
     payload = {"grid": GRID, "scenes": {}}
-    if only and os.path.exists(OUT):
+    if only:
+        if not os.path.exists(OUT):
+            raise SystemExit(
+                f"{OUT} missing: a subset regen would write a partial "
+                "golden; run without arguments first"
+            )
         with open(OUT) as f:
             payload = json.load(f)
         assert payload.get("grid") == GRID

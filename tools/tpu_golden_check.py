@@ -1,4 +1,4 @@
-"""Device-side correctness gate for ALL five scenes.
+"""Device-side correctness gate for every golden scene.
 
 Renders every scene on the current backend (on hardware: the compiled
 Mosaic megakernel paths) at the committed golden configs and compares

@@ -152,6 +152,10 @@ def main(argv=None) -> int:
         print("error: --checkpoint is a plain single-device render "
               "(drop --adaptive/--shard)", file=sys.stderr)
         return 1
+    if args.checkpoint and args.checkpoint_batch_spp < 1:
+        print("error: --checkpoint_batch_spp must be >= 1",
+              file=sys.stderr)
+        return 1
 
     def do_render():
         if args.shard != "none":

@@ -22,7 +22,8 @@ irradiance) — without it the light bleeds onto the ceiling and MSE
 DEGRADES with iterations (measured 0.027 -> 0.34 at 4 iters).
 
 Defaults are the measured-best on cornell 32x32 @ 8 spp vs a 512-spp
-reference: iterations=3, sigma_l=1.0 gives MSE 0.0268 -> 0.0154 (-43%).
+reference: iterations=3, sigma_l=1.0 gives MSE 0.0268 -> 0.0145 (-46%,
+re-measured after the guide-normal normalization fix).
 SVGF-style variance modulation of the luminance stop (local 3x3 sigma of
 demodulated luminance) was prototyped and measured WORSE on this
 renderer's low-spp output (best 0.0165 vs 0.0154 fixed) — the spatial
@@ -73,6 +74,15 @@ def _atrous(color, albedo, normal, depth, *, iterations, sigma_l, sigma_z,
     irr = color / alb
     lum_w = jnp.asarray([LUM_R, LUM_G, LUM_B], color.dtype)
 
+    # The AOV normal is a non-renormalized mean over samples, so edge /
+    # partial-coverage pixels have |n| in (0, 1); dot^sigma_n of two such
+    # normals collapses (0.8^2)^64 ~ 0 even for PARALLEL normals, killing
+    # every tap including self.  Normalize the guide (direction is the
+    # edge signal, magnitude is not) and keep a miss mask for |n| ~ 0.
+    n_len = jnp.sqrt((normal * normal).sum(-1, keepdims=True))
+    miss = n_len < 0.25
+    n_hat = normal / jnp.maximum(n_len, _EPS)
+
     out = irr
     for i in range(iterations):
         step = 1 << i
@@ -84,19 +94,19 @@ def _atrous(color, albedo, normal, depth, *, iterations, sigma_l, sigma_z,
                 k = _B3[ty + 2] * _B3[tx + 2]
                 dy, dx = ty * step, tx * step
                 irr_t = _shift2d(out, dy, dx)
-                n_t = _shift2d(normal, dy, dx)
+                n_t = _shift2d(n_hat, dy, dx)
+                m_t = _shift2d(miss.astype(irr.dtype), dy, dx) > 0.5
                 z_t = _shift2d(depth[..., None], dy, dx)
                 lum_t = (irr_t * lum_w).sum(-1, keepdims=True)
 
-                w_n = jnp.maximum((normal * n_t).sum(-1, keepdims=True), 0.0)
+                w_n = jnp.maximum((n_hat * n_t).sum(-1, keepdims=True), 0.0)
                 w_n = w_n ** sigma_n
-                # miss pixels carry a zero normal: dot == 0 against
-                # EVERYTHING including themselves, which would zero the
-                # whole sky (0/eps).  Let misses mix with misses (w 1);
-                # hit<->miss stays blocked by the zero dot.
-                c_miss = (normal * normal).sum(-1, keepdims=True) < 0.5
-                t_miss = (n_t * n_t).sum(-1, keepdims=True) < 0.5
-                w_n = jnp.where(c_miss, t_miss.astype(w_n.dtype), w_n)
+                # miss pixels carry a ~zero normal whose direction is
+                # meaningless: let misses mix with misses (w 1) and block
+                # hit<->miss entirely.
+                w_n = jnp.where(
+                    miss | m_t, (miss == m_t).astype(w_n.dtype), w_n
+                )
                 # RELATIVE depth stop: |dz| scaled by the center depth, so
                 # the stop is invariant to the camera-ray parameterization
                 # (cornell t ~ 100, wall scenes t ~ 1)
@@ -118,7 +128,9 @@ def _atrous(color, albedo, normal, depth, *, iterations, sigma_l, sigma_z,
                 w = k * w_n * w_z * w_l * w_a
                 acc = acc + irr_t * w
                 wacc = wacc + w
-        out = acc / jnp.maximum(wacc, _EPS)
+        # safety: a pixel whose every tap weight vanished keeps its value
+        # instead of renormalizing 0/eps to black
+        out = jnp.where(wacc > _EPS, acc / jnp.maximum(wacc, _EPS), out)
     return out * alb
 
 

@@ -31,9 +31,12 @@ log = logging.getLogger("zwrt")
 
 
 def _fingerprint(scene: Scene, width, height, renderer: Renderer) -> str:
+    # every Renderer knob that changes the ESTIMATOR must be here — a
+    # resume under different settings would silently mix two estimators
     return (
         f"{scene.name}:{width}x{height}:depth{renderer.max_ray_bounce_depth}"
         f":{renderer.sampler.value}:seed{renderer.seed}"
+        f":rr{renderer.russian_roulette}:clamp{renderer.clamp_indirect}"
     )
 
 
