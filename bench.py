@@ -24,12 +24,23 @@ Besides timing, the JSON line carries:
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 WIDTH = HEIGHT = 400
+# Exit code for "infrastructure unavailable" (EX_TEMPFAIL) -- distinct from
+# exit 1, which means the correctness gate FAILED on a live device.  The
+# round-3 postmortem: the device tunnel can go down for 10+ hours, and
+# jax backend init then either raises UNAVAILABLE or hangs forever; the
+# driver record must distinguish that from a miscompile (VERDICT r3 #1).
+EX_TEMPFAIL = 75
+PROBE_TIMEOUT_S = 75
+PROBE_ATTEMPTS = 3
+PROBE_RETRY_SLEEP_S = 45
+CHILD_TIMEOUT_S = 45 * 60  # first compile over the tunnel can take minutes
 SPP = 1024
 DEPTH = 10
 GOLDEN = os.path.join(
@@ -91,7 +102,98 @@ def measure_iterations_per_path(scene, spp_probe: int = 64) -> float:
     return float(w.sum()) / (n_pix * spp_probe)
 
 
-def main() -> None:
+def probe_tpu(timeout_s: float = PROBE_TIMEOUT_S):
+    """Check device availability WITHOUT risking a hang in this process.
+
+    A fresh interpreter runs ``jax.devices()`` under a hard subprocess
+    timeout (when the tunnel is down that call either raises UNAVAILABLE
+    or blocks forever -- both observed in round 3).  Returns the platform
+    string (e.g. ``"tpu"``) on success, or ``None``.
+    """
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if res.returncode != 0:
+        return None
+    out = res.stdout.strip().splitlines()
+    return out[-1] if out else None
+
+
+def _emit_infra_error(detail: str) -> None:
+    print(json.dumps({
+        "metric": "cornell_box 400x400 @1024spp depth10 path throughput "
+                  "(1 v5e chip; north-star config)",
+        "value": None,
+        "unit": "Mpaths/s",
+        "vs_baseline": None,
+        "error": "tpu-unavailable",
+        "detail": detail,
+    }))
+
+
+def main() -> int:
+    """Parent: probe the device, then run the real bench in a child
+    subprocess with a hard timeout so an outage can never hang the driver.
+    Exit codes: 0 = pass, 1 = correctness-gate fail on live hardware,
+    75 (EX_TEMPFAIL) = infrastructure unavailable (NOT a code failure)."""
+    platform = None
+    for attempt in range(PROBE_ATTEMPTS):
+        platform = probe_tpu()
+        if platform is not None:
+            break
+        if attempt < PROBE_ATTEMPTS - 1:
+            print(f"bench: device probe attempt {attempt + 1} failed; "
+                  f"retrying in {PROBE_RETRY_SLEEP_S}s", file=sys.stderr)
+            time.sleep(PROBE_RETRY_SLEEP_S)
+    if platform is None:
+        _emit_infra_error(
+            f"device probe failed {PROBE_ATTEMPTS}x (timeout "
+            f"{PROBE_TIMEOUT_S}s each): backend init hung or raised; "
+            "see ROADMAP.md tunnel-outage note")
+        return EX_TEMPFAIL
+    if platform != "tpu":
+        # Never report a CPU-fallback number as the TPU benchmark.
+        _emit_infra_error(
+            f"backend came up as '{platform}', not 'tpu' -- refusing to "
+            "bench a fallback platform")
+        return EX_TEMPFAIL
+
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            capture_output=True, text=True, timeout=CHILD_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        _emit_infra_error(
+            f"bench child exceeded {CHILD_TIMEOUT_S}s (tunnel stalled "
+            "mid-run or compile never finished)")
+        return EX_TEMPFAIL
+    # Relay the child's JSON line (the last stdout line that parses).
+    sys.stderr.write(res.stderr)
+    json_line = None
+    for line in res.stdout.splitlines():
+        try:
+            json.loads(line)
+            json_line = line
+        except ValueError:
+            sys.stderr.write(line + "\n")
+    if json_line is not None:
+        print(json_line)
+        return res.returncode
+    _emit_infra_error(
+        f"bench child died without a JSON line (rc={res.returncode}); "
+        f"stderr tail: {res.stderr.strip()[-400:]}")
+    # A crash on live hardware after a good probe is still most likely the
+    # tunnel dropping mid-run (observed round 3); report as infra.
+    return EX_TEMPFAIL
+
+
+def _bench_child() -> None:
     import zig_weekend_raytracer_tpu as zwrt
 
     scene = zwrt.models.load_scene("cornell_box")
@@ -164,4 +266,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--child" in sys.argv:
+        sys.exit(_bench_child())
     sys.exit(main())
