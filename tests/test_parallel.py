@@ -147,3 +147,26 @@ def test_sharded_megakernel_image_scene(pallas_interpret):
     )
     assert np.isfinite(np.asarray(fb)).all()
     np.testing.assert_allclose(np.asarray(fb), single, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_fn_is_memoized(scene):
+    """Repeated render_sharded calls must reuse ONE jitted shard_map
+    closure per (scene, config) -- rebuilding it every call re-traced the
+    whole pipeline (fixed round 4).  Different seeds ride the same fn;
+    a different config adds exactly one entry."""
+    from zig_weekend_raytracer_tpu.parallel import render as prender
+
+    prender._sharded_fn_cache.pop(scene.compiled, None)
+    mesh = make_mesh(2)
+    a = render_sharded(scene, 16, 16, 8, max_depth=3, mesh=mesh,
+                       shard="samples", seed=0)
+    per = prender._sharded_fn_cache[scene.compiled]
+    assert len(per) == 1
+    fn_before = next(iter(per.values()))
+    b = render_sharded(scene, 16, 16, 8, max_depth=3, mesh=mesh,
+                       shard="samples", seed=1)
+    assert next(iter(per.values())) is fn_before and len(per) == 1
+    assert not np.allclose(np.asarray(a), np.asarray(b))  # seed did apply
+    render_sharded(scene, 16, 16, 8, max_depth=3, mesh=mesh,
+                   shard="rows", seed=0)
+    assert len(per) == 2

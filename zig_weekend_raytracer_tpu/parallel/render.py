@@ -20,6 +20,7 @@ decomposition (src/render.zig:55-73).
 
 from __future__ import annotations
 
+import weakref
 from typing import Optional
 
 import jax
@@ -43,6 +44,33 @@ def _use_production_path(scene: Scene) -> bool:
     from ..ops.trace import _use_pallas_backend
 
     return _use_pallas_backend() and supports_bounce_kernel(scene.compiled)
+
+
+# Memoized jitted shard_map closures.  Without this, every render_sharded
+# call rebuilt `worker` + jax.jit(shard_map(...)), so repeated calls (e.g.
+# progressive sharded renders, or the shard-overhead bench) re-traced the
+# whole pipeline each time -- jit's cache is keyed on function identity and
+# a fresh closure never hits it.  Keyed on the CompiledScene OBJECT via a
+# WeakKeyDictionary (ids are recycled after GC) -> {config key: jitted fn},
+# bounded per scene with FIFO eviction like renderer._plan_cache.  All
+# values a worker closure bakes in (size/spp/depth/sampler/camera consts/
+# mesh devices/shard mode/rr/clamp/chunk budget) appear in the config key.
+_sharded_fn_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_SHARDED_CACHE_MAX_CONFIGS = 8
+
+
+def _memo_sharded(compiled, key, build):
+    per = _sharded_fn_cache.get(compiled)
+    if per is None:
+        per = {}
+        _sharded_fn_cache[compiled] = per
+    fn = per.get(key)
+    if fn is None:
+        if len(per) >= _SHARDED_CACHE_MAX_CONFIGS:
+            per.pop(next(iter(per)))
+        fn = build()
+        per[key] = fn
+    return fn
 
 
 def render_sharded(
@@ -86,6 +114,11 @@ def render_sharded(
     production = _use_production_path(scene)
     cam = camera_params(scene.camera, width, height)
     cam_c = camera_consts(scene.camera, width, height)
+    cfg_key = (
+        shard, production, width, height, spp, max_depth, sampler, has_dof,
+        rr, clamp, max_rays_per_chunk, cam_c,
+        tuple(int(d.id) for d in mesh.devices.flat), tuple(mesh.axis_names),
+    )
 
     if shard == "samples":
         # Pad the sample axis: devices own ceil(spp / n_dev) sample indices
@@ -116,12 +149,12 @@ def render_sharded(
                     fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
                 return jax.lax.psum(fb[:height], AXIS) / real(spp)
 
-            fn = jax.jit(
+            fn = _memo_sharded(compiled, cfg_key, lambda: jax.jit(
                 jax.shard_map(
                     worker, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
                     check_vma=False,
                 )
-            )
+            ))
             return fn(compiled, seed_arr)
 
         spp_chunk, band_rows = chunker.chunk_geometry(
@@ -148,12 +181,12 @@ def render_sharded(
                     fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
             return jax.lax.psum(fb[:height], AXIS) / real(spp)
 
-        fn = jax.jit(
+        fn = _memo_sharded(compiled, cfg_key, lambda: jax.jit(
             jax.shard_map(
                 worker, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
                 check_vma=False,
             )
-        )
+        ))
         return fn(compiled, cam, seed_arr)
 
     if shard == "rows":
@@ -183,12 +216,12 @@ def render_sharded(
                     fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
                 return fb[:rows_local] / real(spp)
 
-            fn = jax.jit(
+            fn = _memo_sharded(compiled, cfg_key, lambda: jax.jit(
                 jax.shard_map(
                     worker, mesh=mesh, in_specs=(P(), P()),
                     out_specs=P(AXIS), check_vma=False,
                 )
-            )
+            ))
             return fn(compiled, seed_arr)[:height]
 
         spp_chunk, band_rows = chunker.chunk_geometry(
@@ -216,12 +249,12 @@ def render_sharded(
                     fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
             return fb[:rows_local] / real(spp)
 
-        fn = jax.jit(
+        fn = _memo_sharded(compiled, cfg_key, lambda: jax.jit(
             jax.shard_map(
                 worker, mesh=mesh, in_specs=(P(), P(), P()),
                 out_specs=P(AXIS), check_vma=False,
             )
-        )
+        ))
         return fn(compiled, cam, seed_arr)[:height]
 
     raise ValueError(f"unknown shard mode: {shard}")
