@@ -70,6 +70,7 @@ from ..scene import (
 )
 from ..sampling import hashrng
 from ..sampling.hashrng import RR_P_MIN
+from ..textures import atlas_flat_index
 from ..textures import checker_parity
 from ..geometry import quad as quad_g
 from ..geometry import sphere as sphere_g
@@ -770,13 +771,17 @@ def _bounce_kernel(
             nxt() for _ in range(4)
         )
         nwork_ref = nxt() if regen["work"] else None
-    uo_ref, vo_ref, io_ref = (nxt() for _ in range(3))
+    if regen:
+        # packed interruption record: one i32 per lane (-1 none, -2 blocked
+        # respawn, >= 0 flat atlas texel index) — the (u, v, img) triple is
+        # folded into the index IN-KERNEL (textures.atlas_flat_index)
+        to_ref = nxt()
+    else:
+        uo_ref, vo_ref, io_ref = (nxt() for _ in range(3))
     if regen and regen.get("atlas_slots"):
         _K = regen["atlas_slots"]
         seg_refs = [tuple(nxt() for _ in range(3)) for _ in range(_K)]
-        bufu_refs = [nxt() for _ in range(_K)]
-        bufv_refs = [nxt() for _ in range(_K)]
-        bufi_refs = [nxt() for _ in range(_K)]
+        buft_refs = [nxt() for _ in range(_K)]
 
     shape = (ROWS, LANE)
     alive_i = alive_ref[0]
@@ -811,16 +816,17 @@ def _bounce_kernel(
             nrid_ref[0] = rid_ref[0]
             if regen["work"]:
                 nwork_ref[0] = work_ref[0]
-        uo_ref[0] = jnp.zeros(shape, real)
-        vo_ref[0] = jnp.zeros(shape, real)
-        io_ref[0] = jnp.full(shape, -1, jnp.int32)
+        if regen:
+            to_ref[0] = jnp.full(shape, -1, jnp.int32)
+        else:
+            uo_ref[0] = jnp.zeros(shape, real)
+            vo_ref[0] = jnp.zeros(shape, real)
+            io_ref[0] = jnp.full(shape, -1, jnp.int32)
         if regen and regen.get("atlas_slots"):
             for _j in range(regen["atlas_slots"]):
                 for _c in range(3):
                     seg_refs[_j][_c][0] = jnp.zeros(shape, real)
-                bufu_refs[_j][0] = jnp.zeros(shape, real)
-                bufv_refs[_j][0] = jnp.zeros(shape, real)
-                bufi_refs[_j][0] = jnp.full(shape, -1, jnp.int32)
+                buft_refs[_j][0] = jnp.full(shape, -1, jnp.int32)
 
     if regen:
         # Suspend-on-atlas drain: loop bounces IN-KERNEL until the tile
@@ -854,17 +860,15 @@ def _bounce_kernel(
                 c = list(carry)
                 (ox, oy, oz, dx, dy, dz, tm, rid, thx, thy, thz,
                  rx, ry, rz, alive_c, sample, bounce, work) = c[:18]
-                uo_c, vo_c, io_c = c[18:21]
+                to_c = c[18]
                 if K:
-                    rest = c[21:]
+                    rest = c[19:]
                     segs = [
                         V3(*rest[3 * j: 3 * j + 3]) for j in range(K)
                     ]
-                    bufu = list(rest[3 * K: 4 * K])
-                    bufv = list(rest[4 * K: 5 * K])
-                    bufi = list(rest[5 * K: 6 * K])
-                    segidx = rest[6 * K]
-                    dirty = rest[6 * K + 1]
+                    buft = list(rest[3 * K: 4 * K])
+                    segidx = rest[4 * K]
+                    dirty = rest[4 * K + 1]
                 origin = V3(ox, oy, oz)
                 direction = V3(dx, dy, dz)
                 throughput = V3(thx, thy, thz)
@@ -896,7 +900,7 @@ def _bounce_kernel(
                     need_sent = respawned & (dirty > 0)
                     for k in range(K):
                         sel = need_sent & (segidx == k)
-                        bufi[k] = jnp.where(sel, jnp.int32(-2), bufi[k])
+                        buft[k] = jnp.where(sel, jnp.int32(-2), buft[k])
                     segidx = segidx + need_sent.astype(jnp.int32)
                     dirty = jnp.where(need_sent, 0, dirty)
 
@@ -913,6 +917,16 @@ def _bounce_kernel(
                 bounce_next = bounce_ct + 1
                 survives = survives & (bounce_next < regen["max_depth"])
 
+                if K or cfg["has_images"]:
+                    # pack the event into one i32 flat atlas texel index
+                    # in-kernel (same arithmetic the XLA fold used to run
+                    # on the exported (u, v, img) triple — pure selects
+                    # over the static image list + clip/mul/cast, bitwise
+                    # identical)
+                    tv = atlas_flat_index(
+                        cfg["image_dims"], cfg["atlas_hw"],
+                        jnp.maximum(io, 0), uo, vo,
+                    )
                 if K:
                     # route this bounce's radiance delta to the segment of
                     # the lane's current chain position
@@ -927,19 +941,18 @@ def _bounce_kernel(
                     buffered = ev & can_buf
                     for k in range(K):
                         sel = buffered & (segidx == k)
-                        bufu[k] = jnp.where(sel, uo, bufu[k])
-                        bufv[k] = jnp.where(sel, vo, bufv[k])
-                        bufi[k] = jnp.where(sel, io, bufi[k])
+                        buft[k] = jnp.where(sel, tv, buft[k])
                     segidx = segidx + buffered.astype(jnp.int32)
                     dirty = jnp.where(buffered, 1, dirty)
                     overflow = ev & jnp.logical_not(can_buf)
-                    uo_c = jnp.where(overflow, uo, uo_c)
-                    vo_c = jnp.where(overflow, vo, vo_c)
-                    io_c = jnp.where(overflow, io, io_c)
-                    io_c = jnp.where(blocked, jnp.int32(-2), io_c)
+                    to_c = jnp.where(overflow, tv, to_c)
+                    to_c = jnp.where(blocked, jnp.int32(-2), to_c)
                 else:
                     radiance = rad_out
-                    uo_c, vo_c, io_c = uo, vo, io
+                    if cfg["has_images"]:
+                        to_c = jnp.where(io >= 0, tv, io)
+                    else:
+                        to_c = io
 
                 out = [
                     new_origin.x, new_origin.y, new_origin.z,
@@ -948,23 +961,23 @@ def _bounce_kernel(
                     new_throughput.x, new_throughput.y, new_throughput.z,
                     radiance.x, radiance.y, radiance.z,
                     survives.astype(jnp.int32), sample, bounce_next, work,
-                    uo_c, vo_c, io_c,
+                    to_c,
                 ]
                 if K:
                     for s in segs:
                         out += [s.x, s.y, s.z]
-                    out += bufu + bufv + bufi + [segidx, dirty]
+                    out += buft + [segidx, dirty]
                 return tuple(out)
 
             def cond(carry):
                 # exit when nothing can progress or some lane raised the
-                # interruption flag (atlas overflow io>=0, blocked
-                # respawn io=-2); buffered events do NOT exit
-                alive_c, sample, io = carry[14], carry[15], carry[20]
+                # interruption flag (atlas overflow to>=0, blocked
+                # respawn to=-2); buffered events do NOT exit
+                alive_c, sample, to = carry[14], carry[15], carry[18]
                 can_work = jnp.any(
                     (alive_c > 0) | (sample + stride < limit_v)
                 )
-                return can_work & jnp.logical_not(jnp.any(io != -1))
+                return can_work & jnp.logical_not(jnp.any(to != -1))
 
             init = [
                 ox_ref[0], oy_ref[0], oz_ref[0],
@@ -974,13 +987,11 @@ def _bounce_kernel(
                 rax_ref[0], ray_ref[0], raz_ref[0],
                 alive_i, sample_ref[0], bounce_ref[0],
                 work_ref[0] if regen["work"] else jnp.zeros(shp, jnp.int32),
-                jnp.zeros(shp, real), jnp.zeros(shp, real),
                 jnp.full(shp, -1, jnp.int32),
             ]
             if K:
                 init += [zero] * (3 * K)              # segments
-                init += [zero] * K + [zero] * K       # bufu, bufv
-                init += [jnp.full(shp, -1, jnp.int32)] * K  # bufi
+                init += [jnp.full(shp, -1, jnp.int32)] * K  # buft
                 init += [jnp.zeros(shp, jnp.int32)] * 2     # segidx, dirty
             out = jax.lax.while_loop(cond, body, tuple(init))
             (nox_ref[0], noy_ref[0], noz_ref[0],
@@ -991,17 +1002,15 @@ def _bounce_kernel(
              nalive_ref[0], nsample_ref[0], nbounce_ref[0]) = out[:17]
             if regen["work"]:
                 nwork_ref[0] = out[17]
-            uo_ref[0], vo_ref[0], io_ref[0] = out[18:21]
+            to_ref[0] = out[18]
             if K:
-                rest = out[21:]
+                rest = out[19:]
                 for j in range(K):
                     seg_refs[j][0][0] = rest[3 * j]
                     seg_refs[j][1][0] = rest[3 * j + 1]
                     seg_refs[j][2][0] = rest[3 * j + 2]
                 for k in range(K):
-                    bufu_refs[k][0] = rest[3 * K + k]
-                    bufv_refs[k][0] = rest[4 * K + k]
-                    bufi_refs[k][0] = rest[5 * K + k]
+                    buft_refs[k][0] = rest[3 * K + k]
     else:
         @pl.when(any_alive)
         def _run():
@@ -1627,6 +1636,13 @@ def _base_cfg(
         "t_min": float(t_min),
         "has_moving": scene.has_moving,
         "has_images": scene.has_image_textures,
+        # static atlas geometry: lets the kernel PACK an atlas event into
+        # one i32 flat texel index (textures.atlas_flat_index) instead of
+        # exporting the (u, v, img) triple per chain slot (round 4)
+        "image_dims": tuple(scene.image_dims),
+        "atlas_hw": (
+            int(scene.atlas_packed.shape[1]), int(scene.atlas_packed.shape[2])
+        ),
         "terminate_zero": terminate_zero,
         # Russian roulette from this bounce index (0 = off).  Gated off on
         # image scenes: the kernel's live throughput excludes deferred
@@ -1691,19 +1707,23 @@ def _call_kernel(scene, cfg, ins, in_specs, g, n_outs):
         ]
         if cfg["regen"]["work"]:
             out_shape += [jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32)]
-    out_shape += [
-        jax.ShapeDtypeStruct((g, ROWS, LANE), real),
-        jax.ShapeDtypeStruct((g, ROWS, LANE), real),
-        jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32),
-    ]
+    if cfg["regen"]:
+        # packed interruption record (flat atlas texel index / sentinel)
+        out_shape += [jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32)]
+    else:
+        out_shape += [
+            jax.ShapeDtypeStruct((g, ROWS, LANE), real),
+            jax.ShapeDtypeStruct((g, ROWS, LANE), real),
+            jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32),
+        ]
     if cfg["regen"] and cfg["regen"].get("atlas_slots"):
         k = cfg["regen"]["atlas_slots"]
         out_shape += [
             jax.ShapeDtypeStruct((g, ROWS, LANE), real)
-        ] * (5 * k)  # 3k radiance segments + k bufu + k bufv
+        ] * (3 * k)  # 3k radiance segments
         out_shape += [
             jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32)
-        ] * k        # bufi
+        ] * k        # buft (packed event indices)
     assert len(out_shape) == n_outs
     qcap = _queue_cap(cfg)
     return pl.pallas_call(
@@ -1871,7 +1891,7 @@ def bounce_pallas_regen(
 
     outs = _call_kernel(
         scene, cfg, ins, in_specs, g,
-        20 + (1 if want_work else 0) + 6 * K,
+        18 + (1 if want_work else 0) + 4 * K,
     )
 
     def u(x):
@@ -1881,18 +1901,16 @@ def bounce_pallas_regen(
      nrax, nray, nraz, nalive, ntime, nsample, nbounce, nrid) = outs[:17]
     nwork = u(outs[17]) if want_work else None
     base = 18 if want_work else 17
-    uo, vo, io = outs[base: base + 3]
+    to = outs[base]
     chain = None
     if K:
-        rest = outs[base + 3:]
+        rest = outs[base + 1:]
         segs = [
             V3(u(rest[3 * j]), u(rest[3 * j + 1]), u(rest[3 * j + 2]))
             for j in range(K)
         ]
-        bufu = [u(x) for x in rest[3 * K: 4 * K]]
-        bufv = [u(x) for x in rest[4 * K: 5 * K]]
-        bufi = [u(x) for x in rest[5 * K: 6 * K]]
-        chain = (segs, bufu, bufv, bufi)
+        buft = [u(x) for x in rest[3 * K: 4 * K]]
+        chain = (segs, buft)
     return (
         V3(u(nox), u(noy), u(noz)),
         V3(u(ndx), u(ndy), u(ndz)),
@@ -1900,7 +1918,7 @@ def bounce_pallas_regen(
         V3(u(nrax), u(nray), u(nraz)),
         u(nalive) > 0,
         u(ntime), u(nsample), u(nbounce), u(nrid), nwork,
-        (u(uo), u(vo), u(io)),
+        u(to),
         chain,
     )
 

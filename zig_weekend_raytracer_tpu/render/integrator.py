@@ -53,7 +53,12 @@ from ..scene import (
     MAT_METAL,
     CompiledScene,
 )
-from ..textures import atlas_lookup, checker_parity, texture_value
+from ..textures import (
+    atlas_lookup,
+    atlas_lookup_flat,
+    checker_parity,
+    texture_value,
+)
 from ..utils.profiler import named_zone
 from .pdfs import light_pdf_value, sample_light_direction
 
@@ -186,7 +191,7 @@ def trace_paths_regen(
 
     def body(st: RegenState):
         origin, direction, throughput, radiance, alive, time, sample, \
-            bounce, ray_id, work, (u, v, io), chain = bounce_pallas_regen(
+            bounce, ray_id, work, to, chain = bounce_pallas_regen(
                 scene, st.origin, st.direction, st.time, st.ray_id,
                 st.throughput, st.radiance, st.alive,
                 px, py, st.sample, st.bounce, sample_limit,
@@ -202,77 +207,73 @@ def trace_paths_regen(
         if scene.has_image_textures:
             # Resolve the per-lane pending-atlas-event chain: walk the K
             # buffered slots in order, folding each texture color into the
-            # running factor (img = -2 is the RESET sentinel a respawn
-            # records — the new path's contributions take factor 1), and
-            # scale each radiance segment by the factor at its position.
-            # Exact: a segment holds exactly the contributions between two
-            # chain boundaries (ops/pallas_bounce.py regen loop).
-            nn = io.shape[0]
+            # running factor (-2 is the RESET sentinel a respawn records —
+            # the new path's contributions take factor 1), and scale each
+            # radiance segment by the factor at its position.  Exact: a
+            # segment holds exactly the contributions between two chain
+            # boundaries (ops/pallas_bounce.py regen loop).  Events arrive
+            # PACKED (round 4): one i32 flat atlas texel index per slot,
+            # computed in-kernel (textures.atlas_flat_index), so each slot
+            # gathers 4 full-wavefront arrays (index + segment rgb) instead
+            # of the 6 the (u, v, img) triple needed.
+            nn = to.shape[0]
             one = V3.full((nn,), 1.0, 1.0, 1.0, real)
             if chain is not None:
-                segs, bufu, bufv, bufi = chain
-                # Driver-side COMPACTION: measured NEGATIVE (round 3),
-                # default OFF (ZWRT_CHAIN_CAP_DIV > 0 enables for A/B).
-                # Device profiling put the chain resolution at ~35% of
-                # rtw_final's render (469 ms = 29 launches x 12 slot conds,
-                # each a full-wavefront atlas gather + fold), and only
-                # ~3-24% of lanes hold events — but compacting to event
-                # lanes (jnp.nonzero + gather, fold in compact space,
-                # scatter back; OOB fill indices make gathers clamp and
-                # scatters drop) must gather ~6K chain arrays per launch:
-                # at cap = nn/4 that is ~19 nn gather elements against the
-                # 12 nn it saves.  Measured: rtw_final 1.357 s -> 1.869 s.
-                # The fold below therefore stays full-wavefront; the win
-                # would need the KERNEL to emit packed chain state (fewer
-                # arrays to gather), not driver-side shuffling.
-                has_ev = (bufi[0] != -1) | (io >= 0)
+                segs, buft = chain
+                # Driver-side COMPACTION: measured NEGATIVE in round 3
+                # against the UNPACKED chain (rtw_final 1.357 s -> 1.869 s:
+                # compacting to event lanes must gather ~6K chain arrays
+                # against the 12 nn it saves), default OFF
+                # (ZWRT_CHAIN_CAP_DIV > 0 enables for A/B).  The packed
+                # chain shifts the ratio (~4K+1 arrays to compact vs 4K+1
+                # saved) — re-measure on hardware before changing the
+                # default.
+                has_ev = (buft[0] != -1) | (to >= 0)
                 cnt = jnp.sum(has_ev.astype(jnp.int32))
                 div = int(os.environ.get("ZWRT_CHAIN_CAP_DIV", "0"))
                 cap = max(BLK, nn // div) if div > 0 else 0
 
-                def _fold(bi_l, bu_l, bv_l, sg_l, io_l, u_l, v_l):
+                def _fold(bt_l, sg_l, to_l):
                     """Walk the K slots in order over arrays of size m;
                     returns (factor, radiance delta)."""
-                    m = io_l.shape[0]
+                    m = to_l.shape[0]
                     onem = V3.full((m,), 1.0, 1.0, 1.0, real)
                     factor = onem
                     rad = V3.zeros((m,), real)
-                    for k in range(len(bi_l)):
-                        bi = bi_l[k]
+                    for k in range(len(bt_l)):
+                        bt = bt_l[k]
 
                         # slots empty across the whole wavefront (the
                         # common case for high k once the render tail
                         # thins) skip their atlas gather entirely
-                        def _apply(args, k=k, bi=bi):
+                        def _apply(args, k=k, bt=bt):
                             factor, rad = args
-                            col = atlas_lookup(
-                                scene, jnp.maximum(bi, 0), bu_l[k], bv_l[k]
+                            col = atlas_lookup_flat(
+                                scene, jnp.maximum(bt, 0)
                             )
                             factor = V3.where(
-                                bi == -2, onem,
-                                V3.where(bi >= 0, factor * col, factor),
+                                bt == -2, onem,
+                                V3.where(bt >= 0, factor * col, factor),
                             )
                             return factor, rad + sg_l[k] * factor
 
                         factor, rad = jax.lax.cond(
-                            jnp.any(bi != -1), _apply, lambda a: a,
+                            jnp.any(bt != -1), _apply, lambda a: a,
                             (factor, rad),
                         )
-                    img_rgb = atlas_lookup(
-                        scene, jnp.maximum(io_l, 0), u_l, v_l
+                    img_rgb = atlas_lookup_flat(
+                        scene, jnp.maximum(to_l, 0)
                     )
-                    factor = V3.where(io_l >= 0, factor * img_rgb, factor)
+                    factor = V3.where(to_l >= 0, factor * img_rgb, factor)
                     return factor, rad
 
                 def _compact_branch(args):
                     throughput, radiance = args
                     idx = jnp.nonzero(has_ev, size=cap, fill_value=nn)[0]
                     fac_c, rad_c = _fold(
-                        [b[idx] for b in bufi],
-                        [b[idx] for b in bufu],
-                        [b[idx] for b in bufv],
+                        [b[idx] for b in buft],
                         [V3(s.x[idx], s.y[idx], s.z[idx]) for s in segs],
-                        io[idx], u[idx], v[idx],
+                        to[idx],
                     )
                     # OOB idx rows are dropped by the scatters
                     radiance = V3(
@@ -289,7 +290,7 @@ def trace_paths_regen(
 
                 def _full_branch(args):
                     throughput, radiance = args
-                    factor, rad = _fold(bufi, bufu, bufv, segs, io, u, v)
+                    factor, rad = _fold(buft, segs, to)
                     return throughput * factor, radiance + rad
 
                 if cap:
@@ -304,10 +305,10 @@ def trace_paths_regen(
             else:
                 # K = 0 (brute-trace image scenes, e.g. shrek): exit on
                 # first event — events are dense across the wavefront, so
-                # compaction would not pay; apply the io event directly.
-                img_rgb = atlas_lookup(scene, jnp.maximum(io, 0), u, v)
+                # compaction would not pay; apply the packed event directly.
+                img_rgb = atlas_lookup_flat(scene, jnp.maximum(to, 0))
                 throughput = throughput * V3.where(
-                    io >= 0, img_rgb, one
+                    to >= 0, img_rgb, one
                 )
         return RegenState(
             origin=origin, direction=direction, time=time,

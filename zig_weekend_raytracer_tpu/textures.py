@@ -42,21 +42,20 @@ def _resolve_checker(scene: CompiledScene, tex_id, point: V3):
     return tex_id
 
 
-def atlas_lookup(scene: CompiledScene, img_id, u, v) -> V3:
-    """Nearest-neighbor atlas fetch, byte -> linear (gamma 2)
-    (reference: src/texture.zig:49-77).
-
-    Per-image dimensions are compile-time constants (scene.image_dims), so
-    the texel address is ONE flat 1D gather — measured ~8x cheaper than 3D
-    fancy indexing on TPU (the gather itself is ~1 ms per 256k rays
-    regardless of atlas size)."""
-    n_img, ah, aw = scene.atlas_packed.shape
-    # static select-chain over the (tiny, static) image list
+def atlas_flat_index(image_dims, atlas_hw, img_id, u, v) -> jnp.ndarray:
+    """(u, v, image) -> flat index into the packed-atlas plane, from STATIC
+    per-image dimensions.  Pure element-wise arithmetic (a static
+    select-chain over the tiny image list + clip/mul/cast), so it runs
+    identically in XLA and inside the Pallas megakernel — the kernel emits
+    PACKED chain events (one i32 per event) and the driver's chain fold
+    gathers texels by this index without re-deriving it (round 4; the fold
+    previously gathered the (u, v, img) triple per slot)."""
+    ah, aw = atlas_hw
     w = jnp.zeros(jnp.shape(img_id), real)
     h = jnp.zeros(jnp.shape(img_id), real)
     wi = jnp.zeros(jnp.shape(img_id), jnp.int32)
     hi = jnp.zeros(jnp.shape(img_id), jnp.int32)
-    for i, (iw, ih) in enumerate(scene.image_dims):
+    for i, (iw, ih) in enumerate(image_dims):
         sel = img_id == i
         w = jnp.where(sel, real(iw), w)
         h = jnp.where(sel, real(ih), h)
@@ -66,10 +65,10 @@ def atlas_lookup(scene: CompiledScene, img_id, u, v) -> V3:
     vc = 1.0 - jnp.clip(v, 0.0, 1.0)  # flip to image coords
     x = jnp.clip((uc * w).astype(jnp.int32), 0, wi - 1)
     y = jnp.clip((vc * h).astype(jnp.int32), 0, hi - 1)
-    # one gather of the packed r|g<<8|b<<16 texel (3x cheaper than three
-    # channel gathers: big-table gathers are serialized on TPU)
-    flat = (img_id * (ah * aw)) + y * aw + x
-    packed = scene.atlas_packed.reshape(-1)[flat]
+    return (img_id * (ah * aw)) + y * aw + x
+
+
+def _unpack_texel(packed) -> V3:
     scale = real(1.0 / 255.0)
     texel = V3(
         (packed & jnp.uint32(0xFF)).astype(real) * scale,
@@ -77,6 +76,29 @@ def atlas_lookup(scene: CompiledScene, img_id, u, v) -> V3:
         ((packed >> 16) & jnp.uint32(0xFF)).astype(real) * scale,
     )
     return texel * texel  # gamma-2 linearize (math.zig:172-174)
+
+
+def atlas_lookup_flat(scene: CompiledScene, flat) -> V3:
+    """Packed-atlas fetch by precomputed flat texel index (from
+    ``atlas_flat_index``, possibly computed inside the megakernel).
+    One 1D gather of the r|g<<8|b<<16 texel, byte -> linear (gamma 2)."""
+    packed = scene.atlas_packed.reshape(-1)[flat]
+    return _unpack_texel(packed)
+
+
+def atlas_lookup(scene: CompiledScene, img_id, u, v) -> V3:
+    """Nearest-neighbor atlas fetch, byte -> linear (gamma 2)
+    (reference: src/texture.zig:49-77).
+
+    Per-image dimensions are compile-time constants (scene.image_dims), so
+    the texel address is ONE flat 1D gather — measured ~8x cheaper than 3D
+    fancy indexing on TPU (the gather itself is ~1 ms per 256k rays
+    regardless of atlas size)."""
+    n_img, ah, aw = scene.atlas_packed.shape
+    flat = atlas_flat_index(scene.image_dims, (ah, aw), img_id, u, v)
+    # one gather of the packed r|g<<8|b<<16 texel (3x cheaper than three
+    # channel gathers: big-table gathers are serialized on TPU)
+    return atlas_lookup_flat(scene, flat)
 
 
 def checker_parity(inv_scale, point: V3) -> jnp.ndarray:
