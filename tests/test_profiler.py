@@ -106,6 +106,33 @@ def test_parse_device_trace_aggregates_device_pids(tmp_path):
     assert "TOTAL" in table
 
 
+def test_zone_mapping_no_substring_misattribution():
+    """Generic HLO names must bucket by op KIND, never by substring
+    (round-3 bug class: a fusion whose name contained "while"/"gather"
+    landed in "render loop"/"atlas" silently)."""
+    z = profiler._zone_for
+    # a fusion with a suggestive name is still a fusion
+    assert z("fusion.gather_things.3") == "XLA fusion"
+    assert z("jit(render)/while/body/fusion.7") == "XLA fusion"
+    # bare op kinds map to their kind zones (with or without path prefix)
+    assert z("while.4") == "render loop (while)"
+    assert z("jit(render)/while.4") == "render loop (while)"
+    assert z("gather.12") == "gather op"
+    assert z("copy-start.2") == "memcpy"
+    assert z("dynamic-update-slice.9") == "scatter/update op"
+    # our kernels match by their real emitted names wherever they appear
+    assert z("jit__fused/pallas_call._bounce_kernel") == \
+        "rayColor (bounce megakernel)"
+    assert z("_fused_render_kernel.0") == \
+        "rayColorLine (whole-render megakernel)"
+    assert z("tree_kernel.1") == "BVH::hit (tree traversal kernel)"
+    # named_zone scopes survive into metadata paths
+    assert z("jit(render)/atlas/gather.3") == \
+        "ImageTexture::value (atlas pass)"
+    # unknown ops keep their own (truncated) name, not a stolen zone
+    assert z("exp.77") == "exp"
+
+
 def test_cli_profile_device_runs(tmp_path, capsys):
     """--profile=device captures a trace around the render and prints the
     device table (empty-on-CPU message is acceptable — CPU traces carry no

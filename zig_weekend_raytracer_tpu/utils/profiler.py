@@ -109,26 +109,62 @@ def trace_to(log_dir: str):
 # for async device work).
 # ---------------------------------------------------------------------------
 
-# map raw device op names onto the zone vocabulary the reference uses
-_DEVICE_ZONE_PATTERNS = (
-    ("bounce", "rayColor (bounce megakernel)"),
-    ("fused_render", "rayColorLine (whole-render megakernel)"),
-    ("tree", "BVH::hit (tree traversal kernel)"),
-    ("sphere", "Sphere::hit (trace kernel)"),
-    ("quad", "Quad::hit (trace kernel)"),
-    ("atlas", "ImageTexture::value (atlas pass)"),
-    ("gather", "ImageTexture::value (atlas pass)"),
-    ("while", "render loop"),
-    ("copy", "memcpy"),
-    ("fusion", "XLA fusion"),
+# Map raw device op names onto the zone vocabulary the reference uses.
+# Two tiers (round 4; the round-3 substring table misattributed generic
+# names — any fusion containing "while"/"gather"/"copy" landed in the
+# wrong zone):
+#   1. regexes anchored to the names THIS repo actually emits — Pallas
+#      kernel function names (ops/pallas_bounce.py / ops/pallas_trace.py)
+#      and the named_zone scopes that survive into HLO metadata;
+#   2. otherwise bucket by the leading HLO op KIND token (the instruction
+#      name up to its `.N` suffix), never by substring.
+import re as _re
+
+_DEVICE_ZONE_RULES = tuple(
+    (_re.compile(rx), zone)
+    for rx, zone in (
+        (r"bounce_kernel|bounce_pallas|raycolor\b", "rayColor (bounce megakernel)"),
+        (r"fused_render|raycolorline", "rayColorLine (whole-render megakernel)"),
+        (r"tree_kernel|tree_pass|bvh", "BVH::hit (tree traversal kernel)"),
+        (r"sphere_kernel", "Sphere::hit (trace kernel)"),
+        (r"quad_kernel", "Quad::hit (trace kernel)"),
+        (r"atlas|imagetexture", "ImageTexture::value (atlas pass)"),
+    )
 )
+
+# HLO op kinds worth naming in the reference's vocabulary; everything else
+# shows under its own kind token.  Exact-kind match only — "gather.12"
+# buckets here, but "fusion.gather_things.3" is a fusion.
+_KIND_ZONES = {
+    "while": "render loop (while)",
+    "copy": "memcpy",
+    "copy-start": "memcpy",
+    "copy-done": "memcpy",
+    "fusion": "XLA fusion",
+    "gather": "gather op",
+    "dynamic-update-slice": "scatter/update op",
+    "scatter": "scatter/update op",
+    "custom-call": "custom call",
+}
+
+# an HLO instruction name is `<kind>`, `<kind>.<uid>`, or
+# `<kind>.<label>.<uid>`; kinds are lowercase alnum with dashes
+# (e.g. "copy-start", "dynamic-update-slice")
+_KIND_RE = _re.compile(r"^([a-z][a-z0-9_-]*?)(?:\..*)?$")
 
 
 def _zone_for(op_name: str) -> str:
     low = op_name.lower()
-    for pat, zone in _DEVICE_ZONE_PATTERNS:
-        if pat in low:
+    for rx, zone in _DEVICE_ZONE_RULES:
+        if rx.search(low):
             return zone
+    # profiler event names may be bare HLO instruction names OR full
+    # metadata paths ("jit(render)/while/body/fusion.3") — the op kind is
+    # the LAST path component's leading token
+    leaf = low.rsplit("/", 1)[-1]
+    m = _KIND_RE.match(leaf)
+    if m and m.group(1) in _KIND_ZONES:
+        return _KIND_ZONES[m.group(1)]
     return op_name.split(".")[0][:48] or "(unnamed)"
 
 
