@@ -16,6 +16,9 @@ import sys
 
 import numpy as np
 
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 CONFIG = {"width": 64, "height": 64, "spp": 32, "depth": 10, "seed": 0}
 SCENES = [
     "cornell_box", "emissive", "balls", "shrek_quads", "rtw_final", "earth",

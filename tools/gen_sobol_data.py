@@ -19,6 +19,10 @@ import sys
 
 import numpy as np
 
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 N_DIMS = 1024
 MATRIX_SIZE = 52
 

@@ -16,6 +16,10 @@ import time
 
 import numpy as np
 
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     import zig_weekend_raytracer_tpu as zwrt

@@ -7,6 +7,7 @@
 # costs only the unfinished steps on rerun.
 set -u
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$(pwd):${PYTHONPATH:-}"
 OUT=tpu_runs/r4
 mkdir -p "$OUT"
 SUMMARY="$OUT/summary.txt"
