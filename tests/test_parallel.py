@@ -170,3 +170,31 @@ def test_sharded_fn_is_memoized(scene):
     render_sharded(scene, 16, 16, 8, max_depth=3, mesh=mesh,
                    shard="rows", seed=0)
     assert len(per) == 2
+
+
+@pytest.mark.parametrize("shard", ["samples", "rows"])
+def test_sharded_sorted_plan_matches_first_call(pallas_interpret, shard):
+    """Cost-sorted steady state (round 4): the SECOND render_sharded call
+    of a sortable config rides cost-sorted plans through the balanced
+    kernel (per-device sample ranges from axis_index in 'samples' mode,
+    per-device stacked plans in 'rows' mode) and must agree with the
+    first (plain + work-collect) call and the single-device render.
+    regen_min_wave=1 forces s_par=1 at test sizes so the sort gate opens."""
+    from zig_weekend_raytracer_tpu.parallel import render as prender
+
+    sc = zwrt.models.load_scene("cornell_box")
+    prender._sharded_plan_cache.pop(sc.compiled, None)
+    kw = dict(max_depth=3, mesh=make_mesh(4), shard=shard, seed=0,
+              regen_min_wave=1)
+    first = render_sharded(sc, 16, 16, 8, **kw)
+    per = prender._sharded_plan_cache[sc.compiled]
+    assert any("plans" in e for e in per.values()), "work map not cached"
+    second = render_sharded(sc, 16, 16, 8, **kw)
+    r = Renderer(samples_per_pixel=8, max_ray_bounce_depth=3, seed=0,
+                 regen_min_wave=1)
+    single = r.render(sc, 16, 16)
+    np.testing.assert_allclose(
+        np.asarray(second), np.asarray(first), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(second), single,
+                               rtol=1e-4, atol=1e-6)

@@ -39,21 +39,55 @@ def _kernels():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def _chain_kernel(o_ref, *, iters, chains, rows, op):
+    def _chain_kernel(c_ref, o_ref, *, iters, chains, rows, op, unroll):
         # Independent per-chain recurrences: the value feeds the next
         # iteration, so no compiler can collapse the loop; distinct chain
         # seeds stop common-subexpression merging across chains.
-        c = jnp.float32(0.999)
+        #
+        # ``unroll`` repeats the op on each chain WITHIN the body: the
+        # round-4 initial sweep ran every (rows, chains) config in a
+        # constant ~0.03 s — wall time did not move with an 8x work
+        # increase — i.e. one op/chain/iteration leaves the kernel bound
+        # by fori_loop scalar overhead, and growing rows x chains past
+        # ~64 vregs spills to VMEM.  Unrolling multiplies vector work
+        # per loop trip with ZERO extra register pressure (the chain
+        # value is reused in place), which is what saturates issue.
+        #
+        # The multiplier/threshold ``c`` is a RUNTIME input (one vreg,
+        # loop-invariant): with a compile-time constant, Mosaic constant-
+        # folds the unrolled affine chain (a*c+d applied 64x collapsed to
+        # ~2 ops — the first unrolled sweep "measured" 27 TFLOP/s, 9x the
+        # theoretical VPU), and the constant-threshold select chain is
+        # provably idempotent (64 selects -> 1).  A runtime c makes both
+        # folds require FP reassociation / value-range analysis of an
+        # unknown, which the compiler may not and does not do (validated:
+        # post-fix wall time scales ~linearly in unroll).
+        c = c_ref[0, :][None, :]  # (1, LANE), broadcast against (rows, LANE)
         d = jnp.float32(0.0005)
 
-        def body(_, accs):
+        def _one(a):
             if op == "fma":
-                return tuple(a * c + d for a in accs)
+                return a * c + d
             if op == "add":
-                return tuple(a + d for a in accs)
+                return a + c * jnp.float32(0.0005)
+            if op == "newton":
+                # Newton reciprocal step x*(2-c*x): QUADRATIC in x, so no
+                # closed form exists for the chain — the fold-proof probe
+                # that validates the affine-chain numbers (an affine chain
+                # a*c+d CAN in principle be strength-reduced to one FMA
+                # with precomputed c^n coefficients).  Converges to 1/c
+                # and stays there (numerically stable fixed point).
+                # 2 serial vector ops (fma + mul), 3 FLOPs per element.
+                return a * (jnp.float32(2.0) - c * a)
             # select: compare + select, value-dependent so the chain stays
-            # live; threshold 2.0 is never crossed (accs stay ~O(1)).
-            return tuple(jnp.where(a > 2.0, d, a) for a in accs)
+            # live; the runtime threshold c+2.0 (~3.0) is never crossed
+            # (accs stay ~O(1)), but the compiler cannot prove that.
+            return jnp.where(a > c + 2.0, d, a)
+
+        def body(_, accs):
+            for _u in range(unroll):
+                accs = tuple(_one(a) for a in accs)
+            return accs
 
         accs = tuple(
             jnp.full((rows, LANE), 1.0 + 0.001 * k, jnp.float32)
@@ -65,12 +99,17 @@ def _kernels():
             out = out + a
         o_ref[...] = out
 
-    def build(op, iters, chains, rows, interpret):
+    def build(op, iters, chains, rows, interpret, unroll=1):
+        # Returns a fn of ONE argument, the (1, LANE) runtime multiplier —
+        # it must be a jit ARGUMENT (not a closure constant, which XLA
+        # would constant-fold right back into the program).
         return pl.pallas_call(
             functools.partial(
-                _chain_kernel, iters=iters, chains=chains, rows=rows, op=op
+                _chain_kernel, iters=iters, chains=chains, rows=rows, op=op,
+                unroll=unroll,
             ),
             out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             interpret=interpret,
         )
@@ -81,28 +120,30 @@ def _kernels():
 
 
 # lane-ops per iteration per chain element (not FLOPs): fma/add issue one
-# vector op per lane, select issues compare + select.
-OPS_PER_ELEM = {"fma": 1, "add": 1, "select": 2}
-FLOPS_PER_ELEM = {"fma": 2, "add": 1, "select": 0}
+# vector op per lane, select issues compare + select, newton fma + mul.
+OPS_PER_ELEM = {"fma": 1, "add": 1, "select": 2, "newton": 2}
+FLOPS_PER_ELEM = {"fma": 2, "add": 1, "select": 0, "newton": 3}
 
 
-def measure(op, iters, chains, rows, reps=3, interpret=False):
+def measure(op, iters, chains, rows, reps=3, interpret=False, unroll=1):
     import jax
+    import jax.numpy as jnp
 
     build = _kernels()
-    fn = jax.jit(build(op, iters, chains, rows, interpret))
-    out = fn()
+    fn = jax.jit(build(op, iters, chains, rows, interpret, unroll))
+    c = jnp.full((1, LANE), 0.999, jnp.float32)
+    out = fn(c)
     float(out.sum())  # force completion (tunneled backend returns early)
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
-        out = fn()
+        out = fn(c)
         float(out.sum())
         best = min(best, time.time() - t0)
-    elems = rows * LANE * chains * iters
+    elems = rows * LANE * chains * iters * unroll
     return {
         "op": op, "rows": rows, "chains": chains, "iters": iters,
-        "time_s": round(best, 5),
+        "unroll": unroll, "time_s": round(best, 5),
         "gops": round(elems * OPS_PER_ELEM[op] / best / 1e9, 1),
         "gflops": round(elems * FLOPS_PER_ELEM[op] / best / 1e9, 1),
     }
@@ -112,14 +153,21 @@ def main() -> None:
     quick = "--quick" in sys.argv
     iters = 50_000 if quick else 400_000
     results = []
-    for op in ("fma", "add", "select"):
-        for rows, chains in ((8, 8), (8, 16), (64, 4), (64, 8)):
-            r = measure(op, iters, chains, rows)
+    # rows x chains caps at 64 (8,128)-vregs of live state; saturation
+    # comes from the in-body unroll, swept until wall time scales with
+    # work (the unroll=1 round-4 sweep was constant-time = overhead-bound).
+    ops = ("fma", "add", "select", "newton")
+    for op in ops:
+        for rows, chains, unroll in (
+            (64, 8, 1), (64, 8, 4), (64, 8, 16), (64, 8, 64),
+            (8, 8, 64), (64, 4, 64),
+        ):
+            r = measure(op, iters, chains, rows, unroll=unroll)
             results.append(r)
             print(f"  {r}", file=sys.stderr)
     best = {
         op: max((r for r in results if r["op"] == op), key=lambda r: r["gops"])
-        for op in ("fma", "add", "select")
+        for op in ops
     }
     out = {
         "vpu_peak_fma_tflops": round(best["fma"]["gflops"] / 1e3, 3),

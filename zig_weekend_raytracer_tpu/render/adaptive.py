@@ -117,14 +117,33 @@ def build_adaptive_plan(
     pilot: int,
     tile,
     lane_cap: int,
+    sort_lanes: bool = False,
 ):
     """Lane plan for the extra pass: pixel (y, x) renders samples
     [pilot, pilot + n_extra) split across ceil(n/lane_cap) lanes of
-    <= lane_cap samples each, emitted in tile-traversal order (lanes of
-    one pixel adjacent, tiles spatially tight).  Pixels with n == 0 get no
-    lane.  Returns (px, py, s0, s1) i32 arrays padded to a BLK multiple
-    (pad lanes are dead: s1 == s0 == 0), matching
-    renderer._render_band_balanced's contract."""
+    <= lane_cap samples each.  Pixels with n == 0 get no lane.  Returns
+    (px, py, s0, s1) i32 arrays padded to a BLK multiple (pad lanes are
+    dead: s1 == s0 == 0), matching renderer._render_band_balanced's
+    contract.
+
+    Lane order (round-4 perf fix, measured 4.7x adaptive overhead on
+    cornell): with ``sort_lanes`` the lanes are ordered by DESCENDING
+    sample count (stable over tile order) — adaptive lanes carry wildly
+    unequal ranges (1..lane_cap), a ray tile lives as long as its longest
+    lane, and tile-order mixing idles most of each tile on one heavy
+    lane.  Sorting groups similar-length lanes per tile, the same cure as
+    the cost-sorted uniform driver.  Tree scenes keep tile order (pure
+    spatial): traversal needs tight tile frusta (the round-3 measured
+    negative), so the caller gates the sort exactly like render_device
+    gates the cost sorter.
+
+    The padded length is quantized to the next power of two (min BLK):
+    the raw lane count varies with the noise map, i.e. with scene, seed
+    and band content, and every distinct length is a distinct XLA shape
+    — unquantized, EVERY new seed recompiled the balanced kernel
+    (~10 s/compile; the round-4 production-resolution quality runs spent
+    43x uniform wall on this).  Dead pad tiles exit their bounce loop
+    immediately, so the <2x lane overshoot costs microseconds."""
     from ..ops.pallas_trace import BLK
     from .renderer import tile_order_lane_index
 
@@ -150,7 +169,12 @@ def build_adaptive_plan(
     s0 = pilot + (j * nn) // kk
     s1 = pilot + ((j + 1) * nn) // kk
 
+    if sort_lanes and total:
+        by_len = np.argsort(-(s1 - s0), kind="stable")
+        px, py, s0, s1 = px[by_len], py[by_len], s0[by_len], s1[by_len]
+
     n_pad = max(BLK, -(-max(total, 1) // BLK) * BLK)
+    n_pad = 1 << int(n_pad - 1).bit_length()  # stable XLA shapes
     pad = n_pad - total
     if pad:
         px = np.concatenate([px, np.zeros(pad, np.int64)])
@@ -274,7 +298,8 @@ def render_adaptive(
 
         tile = pick_tile(width, band_rows)
         px, py, s0, s1 = build_adaptive_plan(
-            n_full, y0, pilot, tile, lane_cap
+            n_full, y0, pilot, tile, lane_cap,
+            sort_lanes=not (sc.has_sph_tree or sc.has_quad_tree),
         )
         extra = _render_band_balanced(
             sc, seed, jnp.int32(y0),
