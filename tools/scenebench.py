@@ -90,15 +90,25 @@ def main() -> None:
         from zig_weekend_raytracer_tpu.render.aov import render_aovs
         from zig_weekend_raytracer_tpu.render.denoise import denoise
 
+        # Cold call first (includes XLA compiles), then best-of-reps for
+        # the steady state — the round-4 batch reported the cold 27.9 s
+        # filter number, which was ~all one-shot compile time.
         t0 = time.time()
         aovs = render_aovs(scene, width, height, seed=renderer.seed)
-        t_aov = time.time() - t0
-        t0 = time.time()
         dn = denoise(fb_host, aovs, iterations=denoise_iters)
-        t_dn = time.time() - t0
+        t_cold = time.time() - t0
+        best_aov = best_dn = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            aovs = render_aovs(scene, width, height, seed=renderer.seed)
+            best_aov = min(best_aov, time.time() - t0)
+            t0 = time.time()
+            dn = denoise(fb_host, aovs, iterations=denoise_iters)
+            best_dn = min(best_dn, time.time() - t0)
         print(
-            f"  denoise({denoise_iters}): aov pass {t_aov:.3f}s + filter "
-            f"{t_dn:.3f}s, mean={dn.mean():.4f}"
+            f"  denoise({denoise_iters}): aov pass {best_aov:.3f}s + filter "
+            f"{best_dn:.3f}s steady (cold total {t_cold:.1f}s), "
+            f"mean={dn.mean():.4f}"
         )
 
 
