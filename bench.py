@@ -16,10 +16,19 @@ Besides timing, the JSON line carries:
     not just eyeballs.  "fail:..." AND a nonzero exit on divergence.
   * ``vpu_util_est``: achieved VPU utilization from a measured bounce-
     iteration count (the kernel's work counter) x a static per-iteration
-    FLOP model, against an assumed v5e VPU peak of 3.1 TFLOP/s (1024
-    lanes x 2 FLOP FMA x ~1.5 GHz, single issue).  Path tracing here
-    never touches the MXU, so the VPU roofline is the honest ceiling;
-    see BASELINE.md for the per-scene bound analysis.
+    FLOP model, against the MEASURED v5e VPU FMA peak of 34.09 TFLOP/s
+    (tools/vpu_peak.py fold-proof microkernel, round 4 — saturation
+    needs 64 sublane rows x 8 independent chains; the round-3 "assumed
+    3.07" was ~11x low).  Path tracing never touches the MXU, so the
+    VPU roofline is the honest ceiling.
+  * ``vreg_stream_util_est``: the ACTIONABLE utilization — measured
+    element-ops retired (census ops/iter x iterations, tools/op_census.py)
+    against the measured (8,128)-shaped single-stream issue bound
+    (2.15 T element-ops/s at rows=8/chains=8): what a kernel operating
+    on (8,128) tiles can reach without wider tiles.  ~1.0 means the
+    kernel saturates its tile shape; the gap to ``vpu_util_est`` is
+    vreg-level ILP (wavefront width), not scheduling slack.  See
+    BASELINE.md round-4 roofline restatement.
 """
 
 import json
@@ -55,7 +64,19 @@ GOLDEN = os.path.join(
 FLOPS_SPHERE_PRIM = 23
 FLOPS_QUAD_PRIM = 30
 FLOPS_SHADE_TAIL = 550
-VPU_PEAK_FLOPS = 1024 * 2 * 1.5e9  # 3.07 TFLOP/s (assumed v5e VPU peak)
+# MEASURED on one v5e (round 4, tools/vpu_peak.py: register-resident FMA
+# chains, runtime multiplier + Newton-reciprocal guards against constant
+# folding, in-body unroll 64 to saturate loop overhead; raw sweep in
+# tpu_runs/r4 + BASELINE.md).  Saturation requires 64 sublane rows x 8
+# independent chains — i.e. 8 vregs per op AND 8-deep ILP.
+VPU_PEAK_FLOPS = 34.09e12
+# The same microkernel at rows=8 (one (8,128) vreg per op, 8 chains):
+# the issue bound for kernels that operate on (8,128)-tile arrays, in
+# element-ops/s (any vector op class — add/select retire at similar rate).
+VREG_STREAM_OPS = 2.15e12
+# Census vector-ops per lane-iteration for cornell_box (tools/op_census.py,
+# round 4: 1,097 float-arith + 904 sel/cmp/logic + 413 RNG + 122 other).
+CENSUS_OPS_PER_ITER = 2536
 
 
 def check_regions(fb: np.ndarray) -> str:
@@ -258,6 +279,13 @@ def _bench_child() -> None:
         "vpu_util_est": (
             round(achieved_flops / VPU_PEAK_FLOPS, 3)
             if achieved_flops is not None else None
+        ),
+        "vreg_stream_util_est": (
+            round(
+                paths * iters_per_path * CENSUS_OPS_PER_ITER / best
+                / VREG_STREAM_OPS, 3,
+            )
+            if iters_per_path is not None else None
         ),
     }
     print(json.dumps(out))
