@@ -99,12 +99,12 @@ def measure_iterations_per_path(scene, spp_probe: int = 64) -> float:
     counter (the same counter the profile-guided balancer uses)."""
     import jax.numpy as jnp
 
-    from zig_weekend_raytracer_tpu.ops.pallas_trace import BLK
     from zig_weekend_raytracer_tpu.render.camera import camera_consts
     from zig_weekend_raytracer_tpu.render.integrator import trace_paths_regen
     from zig_weekend_raytracer_tpu.sampling.sampler import SamplerKind
 
     cam_c = camera_consts(scene.camera, WIDTH, HEIGHT)
+    BLK = scene.compiled.rows * 128
     n_pix = WIDTH * HEIGHT
     n = -(-n_pix // BLK) * BLK
     idx = np.arange(n) % n_pix

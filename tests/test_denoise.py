@@ -104,3 +104,84 @@ def test_texture_detail_survives_demodulation():
         for c in range(3)
     ], -1)
     assert corr(dn) > corr(blur)
+
+
+def _flat_aovs(h, w):
+    """Synthetic AOVs for a flat fronto-parallel wall: constant albedo,
+    constant normal, constant depth."""
+    return {
+        "albedo": np.full((h, w, 3), 0.6, np.float32),
+        "normal": np.tile(np.array([0.0, 0.0, 1.0], np.float32), (h, w, 1)),
+        "depth": np.full((h, w), 3.0, np.float32),
+    }
+
+
+def test_noise_estimator_recovers_sigma():
+    """estimate_noise_sigma recovers the true iid noise level on a flat
+    synthetic image within 20% (the Immerkaer/median constants are exact
+    for Gaussian noise), and scales linearly with it.  The estimator
+    works in LUMINANCE: for iid per-channel noise of sigma the luminance
+    sigma is sigma * sqrt(sum(w_c^2)) ~ 0.75 * sigma."""
+    from zig_weekend_raytracer_tpu.dtypes import LUM_B, LUM_G, LUM_R
+    from zig_weekend_raytracer_tpu.render.denoise import estimate_noise_sigma
+
+    lum_factor = float(np.sqrt(LUM_R**2 + LUM_G**2 + LUM_B**2))
+    rng = np.random.default_rng(0)
+    h = w = 64
+    aovs = _flat_aovs(h, w)
+    base = 0.3 * np.ones((h, w, 3), np.float32)
+    for sigma in (0.02, 0.1):
+        # noise in DEMODULATED space is sigma/albedo; multiply back
+        noisy = base + 0.6 * sigma * rng.standard_normal((h, w, 3)).astype(
+            np.float32
+        )
+        est = estimate_noise_sigma(noisy, aovs)
+        expect = sigma * lum_factor
+        assert 0.8 * expect < est < 1.2 * expect, (sigma, est, expect)
+
+
+def test_noise_estimator_ignores_aov_edges():
+    """A hard material edge (albedo step) must NOT read as noise: the
+    estimator masks pixels near AOV discontinuities, so a clean two-tone
+    image estimates ~zero while the unmasked high-pass response there is
+    huge."""
+    from zig_weekend_raytracer_tpu.render.denoise import estimate_noise_sigma
+
+    h = w = 64
+    aovs = _flat_aovs(h, w)
+    img = np.full((h, w, 3), 0.2, np.float32)
+    img[:, w // 2:] = 0.9
+    aovs["albedo"][:, w // 2:] = 0.9  # the step is a material edge
+    est = estimate_noise_sigma(img, aovs)
+    assert est < 1e-5, est
+
+
+def test_auto_sigma_backs_off_on_clean_input():
+    """The auto luminance stop scales with measured noise: a near-clean
+    framebuffer must be filtered far more gently than a noisy one
+    (this is the balls@32 production-resolution regression fix)."""
+    from zig_weekend_raytracer_tpu.render.denoise import denoise
+
+    rng = np.random.default_rng(1)
+    h = w = 64
+    aovs = _flat_aovs(h, w)
+    # structured lighting detail on a flat wall (smooth gradient + spot)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    detail = 0.3 + 0.2 * np.sin(xx / 6.0) * np.cos(yy / 7.0)
+    clean = np.repeat(detail[..., None], 3, -1).astype(np.float32) * 0.6
+    tiny = clean + 0.002 * rng.standard_normal(clean.shape).astype(np.float32)
+    loud = clean + 0.10 * rng.standard_normal(clean.shape).astype(np.float32)
+    dn_tiny = denoise(tiny, aovs)
+    dn_loud = denoise(loud, aovs)
+    # near-clean input: auto must beat the old fixed default by a wide
+    # margin (the fixed stop flattens the shading detail) and keep the
+    # detail structure near-perfectly
+    dn_fixed = denoise(tiny, aovs, sigma_l=1.0)
+    assert (
+        ((dn_tiny - clean) ** 2).mean()
+        < 0.2 * ((dn_fixed - clean) ** 2).mean()
+    )
+    keep = np.corrcoef(dn_tiny.mean(-1).ravel(), detail.ravel())[0, 1]
+    assert keep > 0.98, keep
+    # noisy input: the filter must still actually denoise
+    assert ((dn_loud - clean) ** 2).mean() < 0.5 * ((loud - clean) ** 2).mean()

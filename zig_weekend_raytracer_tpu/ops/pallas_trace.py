@@ -51,8 +51,93 @@ from ..math.v3 import V3
 from ..scene import PRIM_QUAD, PRIM_SPHERE, CompiledScene
 
 LANE = 128
-ROWS = 8           # ray rows per block: BLK = ROWS * LANE rays
+# Ray rows per block: BLK = ROWS * LANE rays per kernel tile.  8 = one
+# native (8, 128) f32 vreg per tile-wide op.  The round-4 VPU peak
+# measurement (tools/vpu_peak.py, BASELINE.md) showed the pipeline is
+# latency-bound until ~64 independent vreg-ops are in flight: at one
+# vreg per op it retires ~2.15 T element-ops/s vs 17 T at 8 vregs/op —
+# so wider tiles multiply the available issue rate (each tile-wide op
+# becomes ROWS/8 back-to-back independent vregs, and the per-row trace
+# loop gains ROWS independent chains) at the price of divergence
+# granularity (tree scenes walk the union of nodes any of BLK rays
+# needs) and ROWS/8 x the wavefront VMEM.  ZWRT_ROWS overrides for
+# sweeps; must be set before the package is imported.
+ROWS_DEFAULT = 8
+
+
+def _validated_rows(rows: int) -> int:
+    if rows % 8 != 0 or not 8 <= rows <= 128:
+        raise ValueError(
+            f"rows must be a multiple of 8 in [8, 128], got {rows}"
+        )
+    return rows
+
+
+ROWS = _validated_rows(int(os.environ.get("ZWRT_ROWS", ROWS_DEFAULT)))
 BLK = ROWS * LANE
+
+
+def pick_rows(*, has_tree: bool, has_image_textures: bool) -> int:
+    """Wavefront rows for a scene, chosen at scene compile (recorded on
+    CompiledScene.rows, a static field, so every jitted driver re-traces
+    per choice).  Measured on one v5e (BASELINE.md round-4 tile-width
+    experiment, cornell 400x400@1024spp): 8 -> 244.6, 16 -> 282.6,
+    32 -> 285.0, 64 -> 296.8 Mpaths/s for brute-trace scenes (+21% at 64);
+    tree scenes REGRESS (balls 38.0 -> 29.0 at 64: the tile-lockstep walk
+    visits the union of nodes any of BLK rays needs, and 8x granularity
+    loses more culling than the vreg ILP buys).  Image-atlas scenes keep 8
+    pending a measurement (the K-slot chain threads ~6K extra (rows, 128)
+    carries).  ZWRT_ROWS overrides for sweeps.  On non-TPU backends the
+    win does not apply (and interpret-mode tests want small tiles): 8."""
+    env = os.environ.get("ZWRT_ROWS")
+    if env:
+        return _validated_rows(int(env))
+    if has_tree or has_image_textures or _interpret():
+        return ROWS_DEFAULT
+    try:
+        import jax
+
+        platform = jax.devices()[0].platform
+    except Exception:
+        return ROWS_DEFAULT
+    return 64 if platform == "tpu" else ROWS_DEFAULT
+
+
+class _RowsCtx:
+    """Bind the module row count while a kernel entry point traces.
+
+    ROWS/BLK are module globals read dynamically by every kernel helper;
+    the public entry points (closest_hit_pallas, bounce_pallas,
+    bounce_pallas_regen, render_fused) bind them to the scene's compiled
+    choice for the duration of kernel construction.  Sound under jit
+    caching because ``rows`` is a static CompiledScene field (part of
+    every cache key) and wavefront shapes differ per choice.  Tracing is
+    single-threaded; nesting restores the previous value."""
+
+    def __init__(self, rows: int):
+        self.rows = _validated_rows(rows)
+
+    def __enter__(self):
+        global ROWS, BLK
+        self._old = ROWS
+        ROWS, BLK = self.rows, self.rows * LANE
+
+    def __exit__(self, *exc):
+        global ROWS, BLK
+        ROWS, BLK = self._old, self._old * LANE
+        return False
+
+
+def with_scene_rows(fn):
+    """Decorator for kernel entry points taking ``scene`` first: binds
+    ROWS/BLK to ``scene.rows`` while the entry runs."""
+    @functools.wraps(fn)
+    def wrapped(scene, *args, **kwargs):
+        with _RowsCtx(getattr(scene, "rows", ROWS)):
+            return fn(scene, *args, **kwargs)
+    return wrapped
+
+
 MAX_PRIM_BLOCK = 256  # max primitives per grid step (8 prims per sublane group)
 
 
@@ -666,6 +751,7 @@ def _trace_call(
     return t.reshape(n), kind.reshape(n), idx.reshape(n)
 
 
+@with_scene_rows
 def closest_hit_pallas(
     scene: CompiledScene,
     origin: V3,

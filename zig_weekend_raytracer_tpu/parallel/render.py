@@ -139,10 +139,8 @@ def _sorted_plan(work_lane, width, band_rows, rows_eff, band_y0, n_items):
     )
 
 
-def _plan_items(rows: int, width: int) -> int:
-    from ..ops.pallas_trace import BLK
-
-    return -(-(rows * width) // BLK) * BLK
+def _plan_items(rows: int, width: int, blk: int) -> int:
+    return -(-(rows * width) // blk) * blk
 
 
 def _sortable(compiled, s_par) -> bool:
@@ -307,7 +305,8 @@ def render_sharded(
                     min(band_rows, height - b * band_rows),
                     b * band_rows,
                     _plan_items(
-                        min(band_rows, height - b * band_rows), width
+                        min(band_rows, height - b * band_rows), width,
+                        compiled.rows * 128,
                     ),
                 )
                 for b in range(n_bands)
@@ -444,7 +443,7 @@ def render_sharded(
                 return fn(compiled, seed_arr)[:height]
             fb, works = fn(compiled, seed_arr)
             works = np.asarray(works)  # (n_dev, n_bands, n_lanes)
-            n_items = _plan_items(band_rows, width)
+            n_items = _plan_items(band_rows, width, compiled.rows * 128)
             plans = []
             for b in range(n_bands):
                 per_dev = []

@@ -118,6 +118,7 @@ def build_adaptive_plan(
     tile,
     lane_cap: int,
     sort_lanes: bool = False,
+    blk: int = 1024,       # scene wavefront block (CompiledScene.rows * 128)
 ):
     """Lane plan for the extra pass: pixel (y, x) renders samples
     [pilot, pilot + n_extra) split across ceil(n/lane_cap) lanes of
@@ -144,7 +145,6 @@ def build_adaptive_plan(
     (~10 s/compile; the round-4 production-resolution quality runs spent
     43x uniform wall on this).  Dead pad tiles exit their bounce loop
     immediately, so the <2x lane overshoot costs microseconds."""
-    from ..ops.pallas_trace import BLK
     from .renderer import tile_order_lane_index
 
     rows, width = n_extra.shape
@@ -173,7 +173,7 @@ def build_adaptive_plan(
         by_len = np.argsort(-(s1 - s0), kind="stable")
         px, py, s0, s1 = px[by_len], py[by_len], s0[by_len], s1[by_len]
 
-    n_pad = max(BLK, -(-max(total, 1) // BLK) * BLK)
+    n_pad = max(blk, -(-max(total, 1) // blk) * blk)
     n_pad = 1 << int(n_pad - 1).bit_length()  # stable XLA shapes
     pad = n_pad - total
     if pad:
@@ -300,6 +300,7 @@ def render_adaptive(
         px, py, s0, s1 = build_adaptive_plan(
             n_full, y0, pilot, tile, lane_cap,
             sort_lanes=not (sc.has_sph_tree or sc.has_quad_tree),
+            blk=sc.rows * 128,
         )
         extra = _render_band_balanced(
             sc, seed, jnp.int32(y0),

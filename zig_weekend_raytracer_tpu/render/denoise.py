@@ -48,6 +48,18 @@ from ..dtypes import LUM_B, LUM_G, LUM_R
 _B3 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
 _EPS = 1e-4
 
+# sigma_l="auto" calibration: sigma_l = _SIGMA_L_PER_NOISE * estimated
+# noise sigma (estimate_noise_sigma below).  Measured on 32x32 tiles vs
+# 512-spp references (MSE ratio vs uniform, lower = better; raw sweep in
+# BASELINE.md round 4):
+#   cornell@8  (est 0.145): fixed-1.0 best 0.542; k=6 0.559, k=7 0.559-65, k=9 0.565
+#   balls@8    (est 0.009): fixed-1.0 0.947;      k=6 0.923, k=7 0.906, k=9 0.882
+#   balls@32   (est 0.008): fixed-1.0 1.910 (WORSE than no filter — the
+#                           round-3 default's production regression);
+#                           k=6 0.941, k=7 0.938, k=9 0.947
+# k = 7 is within 4% of each config's own optimum and never regresses.
+_SIGMA_L_PER_NOISE = 7.0
+
 
 def _shift2d(x, dy, dx):
     """Shift a (H, W, C) array by (dy, dx) with edge clamping."""
@@ -134,18 +146,100 @@ def _atrous(color, albedo, normal, depth, *, iterations, sigma_l, sigma_z,
     return out * alb
 
 
-def denoise(color, aovs: dict, *, iterations: int = 3, sigma_l: float = 1.0,
+def estimate_noise_sigma(color, aovs: dict) -> float:
+    """Global Monte-Carlo noise level of a framebuffer, in demodulated-
+    luminance units (host-side numpy, ~ms).
+
+    Immerkaer's high-pass N = [[1,-2,1],[-2,4,-2],[1,-2,1]] annihilates
+    constant and linear image content, leaving (for iid pixel noise of
+    sigma) a response with sigma_N = 6*sigma.  MC noise is heavy-tailed,
+    so the scale comes from the MEDIAN absolute response
+    (median|X| = 0.6745*sigma for the Gaussian core) rather than the
+    mean.  Geometry/material edges would pollute the high-pass, so
+    pixels within 1 px of an AOV discontinuity (albedo step > 0.05,
+    relative depth step > 0.02, normal dot < 0.95, hit/miss boundary)
+    are masked out; if the mask empties (tiny or all-edge images) the
+    estimate falls back to all pixels — median robustness keeps it
+    usable."""
+    fb = np.asarray(color, np.float64)
+    alb = np.maximum(np.asarray(aovs["albedo"], np.float64), _EPS)
+    irr = fb / alb
+    lum = (
+        float(LUM_R) * irr[..., 0] + float(LUM_G) * irr[..., 1]
+        + float(LUM_B) * irr[..., 2]
+    )
+    # Immerkaer response, valid interior = [1:-1, 1:-1]
+    c = lum[1:-1, 1:-1]
+    resp = (
+        4.0 * c
+        - 2.0 * (lum[:-2, 1:-1] + lum[2:, 1:-1]
+                 + lum[1:-1, :-2] + lum[1:-1, 2:])
+        + lum[:-2, :-2] + lum[:-2, 2:] + lum[2:, :-2] + lum[2:, 2:]
+    )
+
+    def steps(a):  # max abs diff to the 4 neighbours, interior-shaped
+        ax = np.abs(np.diff(a, axis=0)), np.abs(np.diff(a, axis=1))
+        return np.maximum(
+            np.maximum(ax[0][:-1, 1:-1], ax[0][1:, 1:-1]),
+            np.maximum(ax[1][1:-1, :-1], ax[1][1:-1, 1:]),
+        )
+
+    a_step = steps(np.asarray(aovs["albedo"], np.float64).sum(-1))
+    z = np.asarray(aovs["depth"], np.float64)
+    z_step = steps(z) / (np.abs(z[1:-1, 1:-1]) + 1.0)
+    n = np.asarray(aovs["normal"], np.float64)
+    n_len = np.sqrt((n * n).sum(-1))
+    miss = n_len < 0.25
+    edge = (
+        (a_step > 0.05) | (z_step > 0.02)
+        | (steps(miss.astype(np.float64)) > 0.0)
+    )
+    n_hat = n / np.maximum(n_len, _EPS)[..., None]
+    n_dot = np.ones_like(n_len)
+    for axis in (0, 1):
+        d = (np.take(n_hat, range(0, n_hat.shape[axis] - 1), axis) *
+             np.take(n_hat, range(1, n_hat.shape[axis]), axis)).sum(-1)
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (0, 1)
+        n_dot = np.minimum(n_dot, np.pad(d, pad, constant_values=1.0))
+        pad[axis] = (1, 0)
+        n_dot = np.minimum(n_dot, np.pad(d, pad, constant_values=1.0))
+    edge = edge | (n_dot[1:-1, 1:-1] < 0.95) | miss[1:-1, 1:-1]
+    # dilate by 1: the high-pass stencil touches neighbours
+    ep = np.pad(edge, 1, mode="edge")
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            edge = edge | ep[1 + dy : ep.shape[0] - 1 + dy,
+                             1 + dx : ep.shape[1] - 1 + dx]
+    flat = np.abs(resp[~edge])
+    if flat.size < 16:
+        flat = np.abs(resp).reshape(-1)
+    if flat.size == 0:
+        return 0.0
+    return float(np.median(flat) / (0.6745 * 6.0))
+
+
+def denoise(color, aovs: dict, *, iterations: int = 3,
+            sigma_l: "float | str" = "auto",
             sigma_z: float = 0.05, sigma_n: float = 64.0,
             sigma_a: float = 0.1) -> np.ndarray:
     """Denoise a linear (H, W, 3) framebuffer using the AOV dict from
     render/aov.py (albedo, normal, depth).  Returns (H, W, 3) f32.
 
     ``iterations`` filter passes with doubling hole size (0 = identity);
-    ``sigma_l`` luminance edge stop (bigger = smoother lighting);
+    ``sigma_l`` luminance edge stop (bigger = smoother lighting) — the
+    default ``"auto"`` scales it with the framebuffer's MEASURED noise
+    level (estimate_noise_sigma), so a clean 32-spp render keeps its
+    shading detail while a noisy 8-spp render smooths hard.  Round-3's
+    fixed 1.0 (tuned on 8-spp cornell) over-smoothed geometry-dense
+    scenes whose noise was already low: balls@32 measured MSE ratio 2.18
+    vs uniform — the round-4 regression this default fixes;
     ``sigma_z`` depth edge stop per dilation step; ``sigma_n`` normal
     edge-stop exponent (bigger = stricter geometry edges)."""
     if iterations <= 0:
         return np.asarray(color, np.float32)
+    if sigma_l == "auto":
+        sigma_l = _SIGMA_L_PER_NOISE * estimate_noise_sigma(color, aovs)
     out = _atrous(
         jnp.asarray(color, jnp.float32),
         jnp.asarray(aovs["albedo"], jnp.float32),

@@ -158,7 +158,7 @@ def trace_paths_regen(
         render_fused,
         supports_fused_render,
     )
-    from ..ops.pallas_trace import BLK
+    BLK = scene.rows * 128  # per-scene wavefront block (pick_rows)
 
     if supports_fused_render(scene):
         return render_fused(

@@ -203,7 +203,7 @@ def _render_band_regen(
             width, height, band_y0, band_rows, sample0, s_par, tile
         )
         n = px.shape[0]
-        from ..ops.pallas_trace import BLK
+        BLK = scene.rows * 128  # per-scene wavefront block (pick_rows)
 
         n_pad = -(-n // BLK) * BLK
         limit = jnp.full((n,), sample_limit, jnp.int32)
@@ -480,7 +480,7 @@ class Renderer:
         work_px = np.asarray(work)[lane_idx.reshape(-1)].reshape(
             band_rows, width
         )[:rows_eff]
-        from ..ops.pallas_trace import BLK
+        BLK = scene.compiled.rows * 128
 
         budget = int(self.balance_overprovision * band_rows * width)
         budget = -(-budget // BLK) * BLK
@@ -532,7 +532,7 @@ class Renderer:
             scene_cache[key] = {"work": work}
             return fb
         if "plan" not in entry:
-            from ..ops.pallas_trace import BLK
+            BLK = scene.compiled.rows * 128
 
             tile = pick_tile(width, band_rows)
             lane_idx = tile_order_lane_index(width, band_rows, tile)

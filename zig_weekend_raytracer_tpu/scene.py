@@ -206,7 +206,7 @@ _STATIC_FIELDS = [
     "lights", "has_sph_tree", "has_quad_tree",
     "background_rgb", "light_params", "has_emissive_image", "image_dims",
     "needs_gauss", "has_nested_checker", "sph_leaf_span", "quad_leaf_span",
-    "has_uni_tree", "uni_leaf_span",
+    "has_uni_tree", "uni_leaf_span", "rows",
 ]
 
 
@@ -336,6 +336,11 @@ class CompiledScene:
     # read these so tree layout and traversal always agree.
     sph_leaf_span: int = 32
     quad_leaf_span: int = 32
+    # Wavefront rows per kernel tile (BLK = rows * 128 rays), chosen per
+    # scene at compile (ops/pallas_trace.py:pick_rows): 64 on TPU for
+    # brute-trace scenes (the measured vreg-ILP win, BASELINE.md round 4),
+    # 8 for tree/image-atlas scenes and non-TPU backends.
+    rows: int = 8
     # Unified both-kind tree: measured NEGATIVE vs the two per-kind walks
     # (BASELINE.md), so it is OPT-IN via ZWRT_UNI_TREE=1 when both kinds
     # have trees; default renders use the per-kind walks.
@@ -1115,6 +1120,12 @@ def _compile_tables(
         has_bvh = False
 
     bg = np.asarray(background, _F)
+    _scene_has_image_textures = any(
+        t["kind"] == TEX_IMAGE
+        or any(c["kind"] == TEX_IMAGE for c in _checker_children(t))
+        for t in textures
+    )
+    from .ops.pallas_trace import pick_rows as _pick_rows_for
     return CompiledScene(
         sph_center=_v3c(sph_center),
         sph_radius=jnp.asarray(sph_radius),
@@ -1176,11 +1187,7 @@ def _compile_tables(
         has_moving=any(np.any(s["move"] != 0) for s in spheres),
         has_bvh=has_bvh,
         max_leaf_size=int(bvh_arrays.get("max_leaf_size", 4)),
-        has_image_textures=any(
-            t["kind"] == TEX_IMAGE
-            or any(c["kind"] == TEX_IMAGE for c in _checker_children(t))
-            for t in textures
-        ),
+        has_image_textures=_scene_has_image_textures,
         has_nested_checker=has_nested_checker,
         lights=lights,
         has_sph_tree=has_sph_tree,
@@ -1189,6 +1196,10 @@ def _compile_tables(
         quad_leaf_span=quad_leaf_span,
         has_uni_tree=has_uni_tree,
         uni_leaf_span=uni_leaf_span,
+        rows=_pick_rows_for(
+            has_tree=has_sph_tree or has_quad_tree or has_uni_tree,
+            has_image_textures=_scene_has_image_textures,
+        ),
         background_rgb=tuple(float(v) for v in background),
         light_params=light_params,
         has_emissive_image=any(
