@@ -393,3 +393,58 @@ def test_atlas_chain_kernel_matches_xla(pallas_interpret):
         del os.environ["ZWRT_CHAIN_CAP_DIV"]
         jax.clear_caches()
     np.testing.assert_allclose(fb_kernel, fb_compact, rtol=2e-6, atol=1e-7)
+
+
+def test_pick_rows_and_with_rows():
+    """Per-scene wavefront width selection (round-4 tile-width landing):
+    CPU backends always get the narrow default, the env override wins,
+    and with_rows round-trips as a cheap static-field copy."""
+    import os
+    from unittest import mock
+
+    import zig_weekend_raytracer_tpu as zwrt
+    from zig_weekend_raytracer_tpu.ops.pallas_trace import (
+        ROWS_DEFAULT, pick_rows,
+    )
+
+    # this suite runs on the CPU backend -> narrow everywhere
+    sc = zwrt.models.load_scene("cornell_box").compiled
+    assert sc.rows == ROWS_DEFAULT
+
+    assert pick_rows(has_tree=True, has_image_textures=False) == ROWS_DEFAULT
+    with mock.patch.dict(os.environ, {"ZWRT_ROWS": "32"}):
+        assert pick_rows(has_tree=True, has_image_textures=False) == 32
+    with mock.patch.dict(os.environ, {"ZWRT_ROWS": "12"}):
+        import pytest
+
+        with pytest.raises(ValueError):
+            pick_rows(has_tree=False, has_image_textures=False)
+
+    wide = sc.with_rows(64)
+    assert wide.rows == 64 and sc.rows == ROWS_DEFAULT
+    assert wide.with_rows(64) is wide
+    assert sc.with_rows(sc.rows) is sc
+    # array leaves are shared, not copied
+    assert wide.shade_lut is sc.shade_lut
+
+
+def test_wide_rows_render_matches_narrow(pallas_interpret):
+    """Kernel-path agreement: the same scene rendered with a widened
+    wavefront tile is BITWISE identical (per-lane math is row-count
+    invariant; only the tile partitioning changes).  Device-scale check:
+    the rows 8/16/32/64 sweep produced identical image means on the v5e
+    (BASELINE.md round 4)."""
+    import dataclasses
+
+    import numpy as np
+
+    import zig_weekend_raytracer_tpu as zwrt
+    from zig_weekend_raytracer_tpu.render import Renderer
+
+    scene = zwrt.models.load_scene("cornell_box")
+    r = Renderer(samples_per_pixel=2, max_ray_bounce_depth=3, seed=0)
+    fb8 = np.asarray(r.render(scene, 40, 24))
+
+    wide = dataclasses.replace(scene, compiled=scene.compiled.with_rows(16))
+    fb16 = np.asarray(r.render(wide, 40, 24))
+    np.testing.assert_array_equal(fb8, fb16)

@@ -85,14 +85,17 @@ def pick_rows(*, has_tree: bool, has_image_textures: bool) -> int:
     32 -> 285.0, 64 -> 296.8 Mpaths/s for brute-trace scenes (+21% at 64);
     tree scenes REGRESS (balls 38.0 -> 29.0 at 64: the tile-lockstep walk
     visits the union of nodes any of BLK rays needs, and 8x granularity
-    loses more culling than the vreg ILP buys).  Image-atlas scenes keep 8
-    pending a measurement (the K-slot chain threads ~6K extra (rows, 128)
-    carries).  ZWRT_ROWS overrides for sweeps.  On non-TPU backends the
-    win does not apply (and interpret-mode tests want small tiles): 8."""
+    loses more culling than the vreg ILP buys).  Brute image-atlas scenes
+    WIN too (measured on a degraded-tunnel session, so conservative:
+    earth 12.8 -> 13.3, shrek 33.0 -> 35.4; the K-slot chain's extra
+    (rows, 128) carries fit VMEM fine) — only the TREE gate remains.
+    ZWRT_ROWS overrides for sweeps.  On non-TPU backends the win does
+    not apply (and interpret-mode tests want small tiles): 8."""
+    del has_image_textures  # kept in the signature for call-site clarity
     env = os.environ.get("ZWRT_ROWS")
     if env:
         return _validated_rows(int(env))
-    if has_tree or has_image_textures or _interpret():
+    if has_tree or _interpret():
         return ROWS_DEFAULT
     try:
         import jax

@@ -259,7 +259,12 @@ def render_adaptive(
     n_bands = -(-height // band_rows)
     cam_c = camera_consts(scene.camera, width, height)
     seed = jnp.uint32(renderer.seed)
-    sc = scene.compiled
+    # Narrow tiles for the whole adaptive pipeline: its passes carry
+    # SHORT per-lane sample windows (pilot halves ~spp/16, extra lanes
+    # 1..lane_cap), which are divergence/latency-dominated — measured
+    # 0.627 s (rows 8) vs 0.865 s (rows 64) on cornell @128 spp
+    # (CompiledScene.with_rows).
+    sc = scene.compiled.with_rows(8)
     half = pilot // 2
 
     fb = np.zeros((height, width, 3), np.float32)

@@ -21,9 +21,13 @@ the wall around it (same plane, same depth, equal demodulated
 irradiance) — without it the light bleeds onto the ceiling and MSE
 DEGRADES with iterations (measured 0.027 -> 0.34 at 4 iters).
 
-Defaults are the measured-best on cornell 32x32 @ 8 spp vs a 512-spp
-reference: iterations=3, sigma_l=1.0 gives MSE 0.0268 -> 0.0145 (-46%,
-re-measured after the guide-normal normalization fix).
+Defaults: iterations=3, sigma_l="auto" — the luminance stop scales with
+the framebuffer's MEASURED noise level (estimate_noise_sigma x the
+calibrated _SIGMA_L_PER_NOISE), so noisy low-spp renders smooth hard
+while clean renders keep shading detail.  At the 8-spp cornell anchor
+auto lands at ~1.0, the round-3 measured best (MSE 0.0268 -> ~0.0145,
+-46%); on clean geometric scenes it backs off (the round-3 fixed 1.0
+measured MSE ratio 1.91 vs uniform on balls@32 — worse than no filter).
 SVGF-style variance modulation of the luminance stop (local 3x3 sigma of
 demodulated luminance) was prototyped and measured WORSE on this
 renderer's low-spp output (best 0.0165 vs 0.0154 fixed) — the spatial
@@ -76,12 +80,13 @@ def _shift2d(x, dy, dx):
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "iterations", "sigma_l", "sigma_z", "sigma_n", "sigma_a",
-    ),
+    static_argnames=("iterations", "sigma_z", "sigma_n", "sigma_a"),
 )
-def _atrous(color, albedo, normal, depth, *, iterations, sigma_l, sigma_z,
+def _atrous(color, albedo, normal, depth, sigma_l, *, iterations, sigma_z,
             sigma_n, sigma_a):
+    # sigma_l is a TRACED scalar: the auto stop differs per render (it is
+    # a measured noise level), and a static arg would recompile the whole
+    # filter for every image (~10 s XLA compile each).
     alb = jnp.maximum(albedo, _EPS)
     irr = color / alb
     lum_w = jnp.asarray([LUM_R, LUM_G, LUM_B], color.dtype)
@@ -245,7 +250,8 @@ def denoise(color, aovs: dict, *, iterations: int = 3,
         jnp.asarray(aovs["albedo"], jnp.float32),
         jnp.asarray(aovs["normal"], jnp.float32),
         jnp.asarray(aovs["depth"], jnp.float32),
-        iterations=int(iterations), sigma_l=float(sigma_l),
+        jnp.float32(sigma_l),
+        iterations=int(iterations),
         sigma_z=float(sigma_z), sigma_n=float(sigma_n),
         sigma_a=float(sigma_a),
     )

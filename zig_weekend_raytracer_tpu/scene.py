@@ -355,6 +355,22 @@ class CompiledScene:
     # primitive kind (reference: Scene.lights, src/scene.zig:43).
     lights: Tuple[Tuple[int, int], ...] = ()
 
+    def with_rows(self, rows: int) -> "CompiledScene":
+        """Copy of this scene with a different wavefront row count.
+
+        Short-sample-window passes (adaptive pilots, AOV prepasses) are
+        divergence/latency-dominated, where narrow tiles win — measured
+        on one v5e at cornell @128 spp (BASELINE.md round 4): adaptive
+        0.627 s at rows 8 vs 0.865 s at the scene's beauty-pass 64; the
+        AOV pass 0.229 s vs 0.371 s.  ``rows`` is a static field, so
+        jitted drivers re-trace (and the persistent cache keeps both
+        variants).  Returns self when the value already matches."""
+        if rows == self.rows:
+            return self
+        import dataclasses
+
+        return dataclasses.replace(self, rows=rows)
+
     @property
     def n_lights(self) -> int:
         return len(self.lights)
