@@ -23,12 +23,12 @@ Besides timing, the JSON line carries:
     VPU roofline is the honest ceiling.
   * ``vreg_stream_util_est``: the ACTIONABLE utilization — measured
     element-ops retired (census ops/iter x iterations, tools/op_census.py)
-    against the measured (8,128)-shaped single-stream issue bound
-    (2.15 T element-ops/s at rows=8/chains=8): what a kernel operating
-    on (8,128) tiles can reach without wider tiles.  ~1.0 means the
-    kernel saturates its tile shape; the gap to ``vpu_util_est`` is
-    vreg-level ILP (wavefront width), not scheduling slack.  See
-    BASELINE.md round-4 roofline restatement.
+    against the measured issue bound AT THE SCENE'S OWN TILE WIDTH
+    (2.15 T element-ops/s per 8 rows, ~linear to 17 T at 64): what the
+    kernel's tile shape makes reachable.  ~1.0 at rows=8 meant the
+    round-3 kernel saturated one-vreg issue; after the rows=64 landing
+    the ratio reads the remaining non-issue headroom (VMEM operand
+    traffic).  See BASELINE.md round-4 roofline restatement.
 """
 
 import json
@@ -73,6 +73,8 @@ VPU_PEAK_FLOPS = 34.09e12
 # The same microkernel at rows=8 (one (8,128) vreg per op, 8 chains):
 # the issue bound for kernels that operate on (8,128)-tile arrays, in
 # element-ops/s (any vector op class — add/select retire at similar rate).
+# Scales ~linearly with tile rows up to 64 (17.05e12 at rows=64), so the
+# per-scene denominator below multiplies by scene rows / 8.
 VREG_STREAM_OPS = 2.15e12
 # Census vector-ops per lane-iteration for cornell_box (tools/op_census.py,
 # round 4: 1,097 float-arith + 904 sel/cmp/logic + 413 RNG + 122 other).
@@ -283,7 +285,7 @@ def _bench_child() -> None:
         "vreg_stream_util_est": (
             round(
                 paths * iters_per_path * CENSUS_OPS_PER_ITER / best
-                / VREG_STREAM_OPS, 3,
+                / (VREG_STREAM_OPS * scene.compiled.rows / 8), 3,
             )
             if iters_per_path is not None else None
         ),

@@ -80,3 +80,16 @@ step 18_denoise 1800 python tools/scenebench.py cornell_box 400 400 128 10 3 --d
 # 5. Shard overhead at the new rows + prodres wall columns (traced sigma)
 step 19_shard 2400 python tools/shard_overhead.py
 step 20_quality 5400 python tools/quality_prodres.py cornell_box balls
+
+# 6. Tree scenes at intermediate widths: the 64-row loss on balls does
+#    not price 16/32 (granularity 2048/4096, trace-loop ILP 2-4x).
+step 21_rtw_r16 2400 env ZWRT_ROWS=16 python tools/scenebench.py rtw_final 400 400 64 8 3
+step 22_rtw_r32 2400 env ZWRT_ROWS=32 python tools/scenebench.py rtw_final 400 400 64 8 3
+step 23_balls_r16 2400 env ZWRT_ROWS=16 python tools/scenebench.py balls 400 400 128 10 3
+
+# 7. Per-kernel device-time table at the new tile width (where did the
+#    remaining non-issue time go — VMEM story).
+step 24_profile 2400 python -m zig_weekend_raytracer_tpu.cli \
+  --image_width=400 --image_height=400 --samples_per_pixel=128 \
+  --ray_bounce_max_depth=10 --scene=cornell_box --profile=device \
+  --image_out_path=/tmp/r4b_profile.ppm
