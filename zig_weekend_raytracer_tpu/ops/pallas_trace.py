@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -61,7 +62,9 @@ LANE = 128
 # loop gains ROWS independent chains) at the price of divergence
 # granularity (tree scenes walk the union of nodes any of BLK rays
 # needs) and ROWS/8 x the wavefront VMEM.  ZWRT_ROWS overrides for
-# sweeps; must be set before the package is imported.
+# sweeps — read per SCENE COMPILE by pick_rows (a post-import change
+# takes effect on the next compile_scene); the import-time module value
+# below only serves as the default for scene-less helpers and tests.
 ROWS_DEFAULT = 8
 
 
@@ -114,20 +117,27 @@ class _RowsCtx:
     bounce_pallas_regen, render_fused) bind them to the scene's compiled
     choice for the duration of kernel construction.  Sound under jit
     caching because ``rows`` is a static CompiledScene field (part of
-    every cache key) and wavefront shapes differ per choice.  Tracing is
-    single-threaded; nesting restores the previous value."""
+    every cache key) and wavefront shapes differ per choice.  An RLock
+    serializes rebinding across threads (same-thread nesting restores
+    the previous value) so concurrent renders of different-width scenes
+    cannot interleave mid-trace and build kernels whose tile shapes
+    disagree with their wavefront reshapes."""
+
+    _lock = threading.RLock()
 
     def __init__(self, rows: int):
         self.rows = _validated_rows(rows)
 
     def __enter__(self):
         global ROWS, BLK
+        self._lock.acquire()
         self._old = ROWS
         ROWS, BLK = self.rows, self.rows * LANE
 
     def __exit__(self, *exc):
         global ROWS, BLK
         ROWS, BLK = self._old, self._old * LANE
+        self._lock.release()
         return False
 
 

@@ -263,8 +263,14 @@ def render_adaptive(
     # SHORT per-lane sample windows (pilot halves ~spp/16, extra lanes
     # 1..lane_cap), which are divergence/latency-dominated — measured
     # 0.627 s (rows 8) vs 0.865 s (rows 64) on cornell @128 spp
-    # (CompiledScene.with_rows).
-    sc = scene.compiled.with_rows(8)
+    # (CompiledScene.with_rows).  An explicit ZWRT_ROWS sweep override
+    # wins (pick_rows already honored it at scene compile): narrowing it
+    # away would silently record rows-8 numbers under a rows-N label.
+    import os as _os
+
+    sc = scene.compiled
+    if not _os.environ.get("ZWRT_ROWS"):
+        sc = sc.with_rows(8)
     half = pilot // 2
 
     fb = np.zeros((height, width, 3), np.float32)

@@ -114,8 +114,13 @@ def render_aovs(
     n_bands = -(-height // band_rows)
     # Narrow tiles: the AOV prepass is a short (spp~4) first-hit render,
     # latency-dominated — measured 0.229 s (rows 8) vs 0.371 s (rows 64)
-    # on cornell 400x400 (CompiledScene.with_rows).
-    sc = scene.compiled.with_rows(8)
+    # on cornell 400x400 (CompiledScene.with_rows).  An explicit
+    # ZWRT_ROWS sweep override wins, as in render_adaptive.
+    import os as _os
+
+    sc = scene.compiled
+    if not _os.environ.get("ZWRT_ROWS"):
+        sc = sc.with_rows(8)
 
     albedo = np.zeros((height, width, 3), np.float32)
     normal = np.zeros((height, width, 3), np.float32)

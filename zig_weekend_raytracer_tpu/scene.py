@@ -369,7 +369,9 @@ class CompiledScene:
             return self
         import dataclasses
 
-        return dataclasses.replace(self, rows=rows)
+        from .ops.pallas_trace import _validated_rows
+
+        return dataclasses.replace(self, rows=_validated_rows(rows))
 
     @property
     def n_lights(self) -> int:
