@@ -198,3 +198,21 @@ def test_sharded_sorted_plan_matches_first_call(pallas_interpret, shard):
     )
     np.testing.assert_allclose(np.asarray(second), single,
                                rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_megakernel_wide_rows(pallas_interpret):
+    """rows x shard_map interaction (round-4 tile-width landing): a scene
+    compiled with a WIDE wavefront tile renders identically through the
+    sharded path — plan padding (_plan_items) and the in-worker kernel
+    both follow CompiledScene.rows."""
+    import dataclasses
+
+    sc = zwrt.models.load_scene("cornell_box")
+    wide = dataclasses.replace(sc, compiled=sc.compiled.with_rows(16))
+    r = Renderer(samples_per_pixel=8, max_ray_bounce_depth=3, seed=0)
+    single = r.render(sc, 16, 16)  # narrow single-device reference
+    fb = render_sharded(
+        wide, 16, 16, 8, max_depth=3, mesh=make_mesh(2), shard="samples",
+        seed=0,
+    )
+    np.testing.assert_allclose(np.asarray(fb), single, rtol=1e-4, atol=1e-6)
