@@ -298,10 +298,11 @@ def test_unified_tree_render_matches_xla(pallas_interpret):
     np.testing.assert_allclose(fb_uni, fb_ref, rtol=1e-6, atol=1e-7)
 
 
-@pytest.mark.parametrize("trav", ["queue", "rowqueue"])
+@pytest.mark.parametrize("trav", ["queue", "rowqueue", "spec"])
 def test_queue_traversal_matches_default(pallas_interpret, trav):
-    """The branchless SMEM-queue traversals
-    (ops/pallas_bounce.py:_tree_pass_queue, opt-in via ZWRT_TRAV) must
+    """The alternative traversals — branchless SMEM queues
+    (ops/pallas_bounce.py:_tree_pass_queue) and the speculative
+    two-successor walk (_tree_pass_spec), all opt-in via ZWRT_TRAV — must
     render bit-identically to the default lax.cond walk.  Both modes
     measured NEGATIVE on a v5e (BASELINE.md round-3 sweeps) and stay
     opt-in for A/B; a small forced leaf span makes a real multi-leaf tree

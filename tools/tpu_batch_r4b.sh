@@ -93,3 +93,9 @@ step 24_profile 2400 python -m zig_weekend_raytracer_tpu.cli \
   --image_width=400 --image_height=400 --samples_per_pixel=128 \
   --ray_bounce_max_depth=10 --scene=cornell_box --profile=device \
   --image_out_path=/tmp/r4b_profile.ppm
+
+# 8. Speculative two-successor traversal A/B (opt-in ZWRT_TRAV=spec):
+#    overlaps both successors' loads+slab tests with the any() reduction
+#    the round-3 queue experiment identified as the serial bound.
+step 25_rtw_spec 2400 env ZWRT_TRAV=spec python tools/scenebench.py rtw_final 400 400 64 8 3
+step 26_balls_spec 2400 env ZWRT_TRAV=spec python tools/scenebench.py balls 400 400 128 10 3

@@ -609,6 +609,72 @@ def _tree_pass(
     return t, kind, idx
 
 
+def _tree_pass_spec(
+    kind_code, box_ref, link_ref, tab_ref, oi_ref,
+    origin, direction, tmin, tm, alive, t, kind, idx,
+    *, n_nodes, has_moving, leaf_groups,
+):
+    """Speculative two-successor traversal (opt-in ZWRT_TRAV=spec).
+
+    The round-3 queue experiment located the per-node cost in the SERIAL
+    scalar chain: SMEM box load -> slab test -> vector-to-scalar ``any``
+    -> next-pointer select, each stage waiting on the previous.  This
+    walk breaks the chain by evaluating BOTH possible successors
+    (descend ``node+1`` / skip ``miss_link``) in iteration i — their
+    loads and slab tests depend only on ``node``, not on this step's
+    reduction, so the VLIW scheduler can run them while ``any`` of the
+    CARRIED hit vector is in flight — then iteration i+1 just selects
+    the precomputed vector.  Costs: 2x slab vector work per node (cheap:
+    the queue sweep showed vector work is not the bound) + one carried
+    (ROWS, LANE) bool.
+
+    Correctness of the stale far-clip: the speculative test uses ``t``
+    BEFORE any leaf visit this iteration, and ``t`` only ever shrinks —
+    a stale (larger) ``t`` admits every box the fresh value would and
+    possibly more, so the walk may visit a node it could have culled but
+    never skips a needed one; leaf primitive tests always use fresh
+    ``t``.  Out-of-range speculative indices (exit sentinel n_nodes) are
+    clamped for the load only; the loop condition uses the unclamped
+    pointer."""
+    inv_d = (1.0 / direction.x, 1.0 / direction.y, 1.0 / direction.z)
+
+    def slab(node_idx, t_cur):
+        return _node_slab_test(
+            box_ref, node_idx, origin, inv_d, tmin, t_cur, alive
+        )
+
+    def body(carry):
+        node, box_hit, t, kind, idx = carry
+        miss_link = link_ref[node, 0]
+        leaf_group = link_ref[node, 1]
+        hit_desc = slab(jnp.minimum(node + 1, n_nodes - 1), t)
+        hit_miss = slab(jnp.minimum(miss_link, n_nodes - 1), t)
+
+        any_hit = jnp.any(box_hit)
+        is_leaf = leaf_group >= 0
+        t, kind, idx = jax.lax.cond(
+            is_leaf & any_hit,
+            lambda args: _leaf_visit(
+                kind_code, tab_ref, oi_ref, leaf_group,
+                origin, direction, tmin, tm, *args,
+                has_moving=has_moving, leaf_groups=leaf_groups,
+            ),
+            lambda args: args,
+            (t, kind, idx),
+        )
+        go_desc = any_hit & jnp.logical_not(is_leaf)
+        nxt = jnp.where(go_desc, node + 1, miss_link)
+        nxt_hit = jnp.where(go_desc, hit_desc, hit_miss)
+        return nxt, nxt_hit, t, kind, idx
+
+    root_hit = slab(jnp.int32(0), t)
+    _, _, t, kind, idx = jax.lax.while_loop(
+        lambda c: c[0] < n_nodes, body,
+        (jnp.int32(0), root_hit, t, kind, idx),
+    )
+    return t, kind, idx
+
+
 def _uni_tree_pass(
     box_ref, link_ref, s_tab_ref, s_oi_ref, q_tab_ref, q_oi_ref,
     origin, direction, tmin, tm, alive, t, kind, idx,
@@ -1066,6 +1132,12 @@ def _trace_values(cfg, trace, origin, direction, tmin_tile, tm, alive):
     def tree(kind_code, box, link, tab, oi, tmv, hs, n_nodes, span, c):
         if trav == "cond":
             return _tree_pass(
+                kind_code, box, link, tab, oi,
+                origin, direction, tmin_tile, tmv, alive, *c,
+                n_nodes=n_nodes, has_moving=hs, leaf_groups=span,
+            )
+        if trav == "spec":
+            return _tree_pass_spec(
                 kind_code, box, link, tab, oi,
                 origin, direction, tmin_tile, tmv, alive, *c,
                 n_nodes=n_nodes, has_moving=hs, leaf_groups=span,
@@ -1681,7 +1753,7 @@ def _queue_cap(cfg) -> int:
     at most (nodes+1)/2 in any skip-link tree; rowqueue multiplies by
     ROWS.  The uni-tree path keeps the default traversal, so only the
     per-kind node counts bound the queue."""
-    if cfg["trav"] == "cond" or cfg["uni_mode"]:
+    if cfg["trav"] in ("cond", "spec") or cfg["uni_mode"]:
         return 0
     n = 0
     if cfg["sph_mode"] == TR_TREE:
