@@ -166,12 +166,15 @@ def estimate_noise_sigma(color, aovs: dict) -> float:
     are masked out; if the mask empties (tiny or all-edge images) the
     estimate falls back to all pixels — median robustness keeps it
     usable."""
-    fb = np.asarray(color, np.float64)
-    alb = np.maximum(np.asarray(aovs["albedo"], np.float64), _EPS)
+    # float32 throughout: the estimate feeds a smooth exp() stop, so the
+    # ~1e-7 relative error of f32 accumulation is irrelevant, and the
+    # estimator runs on every denoise() call (host numpy).
+    fb = np.asarray(color, np.float32)
+    alb = np.maximum(np.asarray(aovs["albedo"], np.float32), _EPS)
     irr = fb / alb
     lum = (
-        float(LUM_R) * irr[..., 0] + float(LUM_G) * irr[..., 1]
-        + float(LUM_B) * irr[..., 2]
+        np.float32(LUM_R) * irr[..., 0] + np.float32(LUM_G) * irr[..., 1]
+        + np.float32(LUM_B) * irr[..., 2]
     )
     # Immerkaer response, valid interior = [1:-1, 1:-1]
     c = lum[1:-1, 1:-1]
@@ -189,15 +192,15 @@ def estimate_noise_sigma(color, aovs: dict) -> float:
             np.maximum(ax[1][1:-1, :-1], ax[1][1:-1, 1:]),
         )
 
-    a_step = steps(np.asarray(aovs["albedo"], np.float64).sum(-1))
-    z = np.asarray(aovs["depth"], np.float64)
+    a_step = steps(np.asarray(aovs["albedo"], np.float32).sum(-1))
+    z = np.asarray(aovs["depth"], np.float32)
     z_step = steps(z) / (np.abs(z[1:-1, 1:-1]) + 1.0)
-    n = np.asarray(aovs["normal"], np.float64)
+    n = np.asarray(aovs["normal"], np.float32)
     n_len = np.sqrt((n * n).sum(-1))
     miss = n_len < 0.25
     edge = (
         (a_step > 0.05) | (z_step > 0.02)
-        | (steps(miss.astype(np.float64)) > 0.0)
+        | (steps(miss.astype(np.float32)) > 0.0)
     )
     n_hat = n / np.maximum(n_len, _EPS)[..., None]
     n_dot = np.ones_like(n_len)
