@@ -41,7 +41,7 @@ def test_allocate_extra_conserves_and_caps():
 
 
 def test_build_adaptive_plan_partitions_ranges():
-    from zig_weekend_raytracer_tpu.ops.pallas_trace import BLK
+    BLK = 1024  # build_adaptive_plan's default blk (scene rows * 128 at rows=8)
 
     rng = np.random.RandomState(1)
     n_extra = rng.randint(0, 60, size=(8, 16)).astype(np.int64)

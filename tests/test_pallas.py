@@ -212,7 +212,6 @@ def test_fused_work_counter(pallas_interpret):
     sample budget (>= one call per sample, <= max_depth per sample)."""
     import jax
 
-    from zig_weekend_raytracer_tpu.ops.pallas_trace import BLK
     from zig_weekend_raytracer_tpu.render.camera import camera_consts
     from zig_weekend_raytracer_tpu.render.integrator import trace_paths_regen
     from zig_weekend_raytracer_tpu.sampling.sampler import SamplerKind
@@ -221,6 +220,7 @@ def test_fused_work_counter(pallas_interpret):
     W = H = 8
     spp, depth = 4, 5
     cam_c = camera_consts(scene.camera, W, H)
+    BLK = scene.compiled.rows * 128  # scene wavefront block
     n = -(-W * H // BLK) * BLK
     ys, xs = np.divmod(np.arange(n) % (W * H), W)
     px = jnp.asarray(xs.astype(np.int32))

@@ -12,7 +12,7 @@ ray tile drains its entire (pixel, sample-window) work list in one
 in-kernel ``while_loop``, respawning dead lanes with their pixel's next
 sample.
 
-Per tile of _pt.BLK rays a bounce:
+Per tile of rows*128 rays a bounce:
   1. traces against the scene tables, brute (streamed sublane groups, small
      tables) or group-tree (SMEM skip-link traversal, big tables) per
      primitive kind — same math as ops/pallas_trace.py;
@@ -167,9 +167,9 @@ def _sphere_uv(n_obj: V3):
 def _lut_column(lut_ref, c: int, row, lane, n_rows: int):
     """Gather column ``c`` of the (32, R, 128) LUT at per-lane flat indices
     ``row * 128 + lane``: R lane-shuffles + R selects."""
-    out = jnp.zeros((_pt.ROWS, LANE), real)
+    out = jnp.zeros((_pt.rows(), LANE), real)
     for rr in range(n_rows):
-        tab = jnp.broadcast_to(lut_ref[c, rr].reshape(1, LANE), (_pt.ROWS, LANE))
+        tab = jnp.broadcast_to(lut_ref[c, rr].reshape(1, LANE), (_pt.rows(), LANE))
         shuffled = jnp.take_along_axis(tab, lane, axis=1)
         out = jnp.where(row == rr, shuffled, out) if n_rows > 1 else shuffled
     return out
@@ -313,7 +313,7 @@ def _brute_pass(
     row_fn = _sphere_group_hits if is_sphere else _quad_group_hits
 
     rows_t, rows_k, rows_i = [], [], []
-    for r in range(_pt.ROWS):
+    for r in range(_pt.rows()):
         ray_row = _make_ray_row(
             origin, direction, tmin, tm if (is_sphere and has_moving) else
             None, r, with_quadratic=is_sphere,
@@ -383,7 +383,7 @@ def _leaf_visit(
         else:
             groups.append(_tab_group_quad(tab_ref, oi_ref, g0 + j, None))
     rows_t, rows_k, rows_i = [], [], []
-    for r in range(_pt.ROWS):
+    for r in range(_pt.rows()):
         ray_row = _make_ray_row(
             origin, direction, tmin,
             tm if (is_sphere and has_moving) else None, r,
@@ -465,7 +465,7 @@ def _tree_pass_queue(
     is_sphere = kind_code == PRIM_SPHERE
     use_tm = is_sphere and has_moving
     row_w = jnp.left_shift(
-        jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (_pt.ROWS, LANE), 0)
+        jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (_pt.rows(), LANE), 0)
     )
 
     def walk_body(carry):
@@ -485,8 +485,8 @@ def _tree_pass_queue(
             bits = jnp.sum(m)
             any_hit = bits > 0
             hit_leaf = is_leaf & any_hit
-            for r in range(_pt.ROWS):
-                q_ref[sp] = leaf_group * _pt.ROWS + r
+            for r in range(_pt.rows()):
+                q_ref[sp] = leaf_group * _pt.rows() + r
                 sp = sp + jnp.where(
                     hit_leaf & (((bits >> r) & 1) > 0), 1, 0
                 )
@@ -513,14 +513,14 @@ def _tree_pass_queue(
 
         return jax.lax.fori_loop(0, sp, drain_tile, (t, kind, idx))
 
-    sub = jax.lax.broadcasted_iota(jnp.int32, (_pt.ROWS, LANE), 0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (_pt.rows(), LANE), 0)
     row_fn = _sphere_group_hits if is_sphere else _quad_group_hits
 
     def drain_row(i, carry):
         t, kind, idx = carry
         v = q_ref[i]
-        g0 = v // _pt.ROWS
-        r = v - g0 * _pt.ROWS
+        g0 = v // _pt.rows()
+        r = v - g0 * _pt.rows()
         sel = sub == r
 
         def gather(x):
@@ -556,11 +556,11 @@ def _tree_pass_queue(
             jnp.where(t8 <= t_row, i8, _BIG_IDX), axis=0, keepdims=True
         )
         t_cur = gather(t)
-        better = sel & jnp.broadcast_to(t_row < t_cur, (_pt.ROWS, LANE))
+        better = sel & jnp.broadcast_to(t_row < t_cur, (_pt.rows(), LANE))
         return (
-            jnp.where(better, jnp.broadcast_to(t_row, (_pt.ROWS, LANE)), t),
+            jnp.where(better, jnp.broadcast_to(t_row, (_pt.rows(), LANE)), t),
             jnp.where(better, kind_code, kind),
-            jnp.where(better, jnp.broadcast_to(i_row, (_pt.ROWS, LANE)), idx),
+            jnp.where(better, jnp.broadcast_to(i_row, (_pt.rows(), LANE)), idx),
         )
 
     return jax.lax.fori_loop(0, sp, drain_row, (t, kind, idx))
@@ -849,7 +849,7 @@ def _bounce_kernel(
         seg_refs = [tuple(nxt() for _ in range(3)) for _ in range(_K)]
         buft_refs = [nxt() for _ in range(_K)]
 
-    shape = (_pt.ROWS, LANE)
+    shape = (_pt.rows(), LANE)
     alive_i = alive_ref[0]
     if regen:
         # a tile is live if any lane is alive OR can still respawn a sample
@@ -918,7 +918,7 @@ def _bounce_kernel(
             py_v = py_ref[0]
             limit_v = limit_ref[0]
             stride = regen["stride"]
-            shp = (_pt.ROWS, LANE)
+            shp = (_pt.rows(), LANE)
             zero = jnp.zeros(shp, real)
             zero3 = V3.zeros(shp, real)
 
@@ -1498,7 +1498,7 @@ def _fused_render_kernel(seed_ref, *refs, cfg):
     rax_ref, ray_ref, raz_ref = (nxt() for _ in range(3))
     nwork_ref = nxt() if regen["work"] else None
 
-    shape = (_pt.ROWS, LANE)
+    shape = (_pt.rows(), LANE)
     seed = seed_ref[0, 0]
     pxv = px_ref[0]
     pyv = py_ref[0]
@@ -1598,7 +1598,7 @@ def _smem_spec(shape):
 
 def _tile_spec():
     return pl.BlockSpec(
-        (1, _pt.ROWS, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, _pt.rows(), LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
 
 
@@ -1762,39 +1762,39 @@ def _queue_cap(cfg) -> int:
         n = max(n, (cfg["quad_nodes"] + 1) // 2 + 1)
     if n == 0:
         return 0
-    return n * (_pt.ROWS if cfg["trav"] == "rowqueue" else 1)
+    return n * (_pt.rows() if cfg["trav"] == "rowqueue" else 1)
 
 
 def _call_kernel(scene, cfg, ins, in_specs, g, n_outs):
     out_shape = (
-        [jax.ShapeDtypeStruct((g, _pt.ROWS, LANE), real) for _ in range(12)]
-        + [jax.ShapeDtypeStruct((g, _pt.ROWS, LANE), jnp.int32)]
+        [jax.ShapeDtypeStruct((g, _pt.rows(), LANE), real) for _ in range(12)]
+        + [jax.ShapeDtypeStruct((g, _pt.rows(), LANE), jnp.int32)]
     )
     if cfg["regen"]:
         out_shape += [
-            jax.ShapeDtypeStruct((g, _pt.ROWS, LANE), real),        # time
-            jax.ShapeDtypeStruct((g, _pt.ROWS, LANE), jnp.int32),   # sample
-            jax.ShapeDtypeStruct((g, _pt.ROWS, LANE), jnp.int32),   # bounce
-            jax.ShapeDtypeStruct((g, _pt.ROWS, LANE), jnp.uint32),  # ray id
+            jax.ShapeDtypeStruct((g, _pt.rows(), LANE), real),        # time
+            jax.ShapeDtypeStruct((g, _pt.rows(), LANE), jnp.int32),   # sample
+            jax.ShapeDtypeStruct((g, _pt.rows(), LANE), jnp.int32),   # bounce
+            jax.ShapeDtypeStruct((g, _pt.rows(), LANE), jnp.uint32),  # ray id
         ]
         if cfg["regen"]["work"]:
-            out_shape += [jax.ShapeDtypeStruct((g, _pt.ROWS, LANE), jnp.int32)]
+            out_shape += [jax.ShapeDtypeStruct((g, _pt.rows(), LANE), jnp.int32)]
     if cfg["regen"]:
         # packed interruption record (flat atlas texel index / sentinel)
-        out_shape += [jax.ShapeDtypeStruct((g, _pt.ROWS, LANE), jnp.int32)]
+        out_shape += [jax.ShapeDtypeStruct((g, _pt.rows(), LANE), jnp.int32)]
     else:
         out_shape += [
-            jax.ShapeDtypeStruct((g, _pt.ROWS, LANE), real),
-            jax.ShapeDtypeStruct((g, _pt.ROWS, LANE), real),
-            jax.ShapeDtypeStruct((g, _pt.ROWS, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((g, _pt.rows(), LANE), real),
+            jax.ShapeDtypeStruct((g, _pt.rows(), LANE), real),
+            jax.ShapeDtypeStruct((g, _pt.rows(), LANE), jnp.int32),
         ]
     if cfg["regen"] and cfg["regen"].get("atlas_slots"):
         k = cfg["regen"]["atlas_slots"]
         out_shape += [
-            jax.ShapeDtypeStruct((g, _pt.ROWS, LANE), real)
+            jax.ShapeDtypeStruct((g, _pt.rows(), LANE), real)
         ] * (3 * k)  # 3k radiance segments
         out_shape += [
-            jax.ShapeDtypeStruct((g, _pt.ROWS, LANE), jnp.int32)
+            jax.ShapeDtypeStruct((g, _pt.rows(), LANE), jnp.int32)
         ] * k        # buft (packed event indices)
     assert len(out_shape) == n_outs
     qcap = _queue_cap(cfg)
@@ -1831,17 +1831,17 @@ def bounce_pallas(
     """Run the fused bounce (trace included) for a wavefront.  Returns
     (origin', direction', throughput', radiance', alive', (u, v, img))."""
     n = origin.shape[0]
-    n_pad = -(-n // _pt.BLK) * _pt.BLK
+    n_pad = -(-n // _pt.blk()) * _pt.blk()
 
     def pad(x, fill=0.0):
         if n_pad == n:
             return x
         return jnp.concatenate([x, jnp.full((n_pad - n,), fill, x.dtype)])
 
-    g = n_pad // _pt.BLK
+    g = n_pad // _pt.blk()
 
     def tile(x, fill=0.0):
-        return pad(x, fill).reshape(g, _pt.ROWS, LANE)
+        return pad(x, fill).reshape(g, _pt.rows(), LANE)
 
     ins = [
         jnp.asarray(seed, jnp.uint32).reshape(1, 1),
@@ -1904,12 +1904,12 @@ def bounce_pallas_regen(
     (per-lane i32) to additionally count the calls in which each lane traced
     (the balancer's cost signal).  Returns the full updated state tuple."""
     n = origin.shape[0]
-    assert n % _pt.BLK == 0, "regen wavefronts are pre-padded"
-    g = n // _pt.BLK
+    assert n % _pt.blk() == 0, "regen wavefronts are pre-padded"
+    g = n // _pt.blk()
     want_work = work is not None
 
     def tile(x):
-        return x.reshape(g, _pt.ROWS, LANE)
+        return x.reshape(g, _pt.rows(), LANE)
 
     ins = [
         jnp.asarray(seed, jnp.uint32).reshape(1, 1),
@@ -2020,11 +2020,11 @@ def render_fused(
     call counts when ``want_work``)."""
     assert supports_fused_render(scene), "image scenes use the bounce kernel"
     n = px.shape[0]
-    assert n % _pt.BLK == 0, "fused wavefronts are pre-padded"
-    g = n // _pt.BLK
+    assert n % _pt.blk() == 0, "fused wavefronts are pre-padded"
+    g = n // _pt.blk()
 
     def tile(x):
-        return x.reshape(g, _pt.ROWS, LANE)
+        return x.reshape(g, _pt.rows(), LANE)
 
     ins = [
         jnp.asarray(seed, jnp.uint32).reshape(1, 1),
@@ -2053,9 +2053,9 @@ def render_fused(
     _scene_trace_inputs(scene, cfg, ins, in_specs)
 
     n_outs = 3 + (1 if want_work else 0)
-    out_shape = [jax.ShapeDtypeStruct((g, _pt.ROWS, LANE), real)] * 3
+    out_shape = [jax.ShapeDtypeStruct((g, _pt.rows(), LANE), real)] * 3
     if want_work:
-        out_shape.append(jax.ShapeDtypeStruct((g, _pt.ROWS, LANE), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((g, _pt.rows(), LANE), jnp.int32))
     qcap = _queue_cap(cfg)
     outs = pl.pallas_call(
         functools.partial(_fused_render_kernel, cfg=cfg),

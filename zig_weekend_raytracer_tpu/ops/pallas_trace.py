@@ -76,8 +76,21 @@ def _validated_rows(rows: int) -> int:
     return rows
 
 
-ROWS = _validated_rows(int(os.environ.get("ZWRT_ROWS", ROWS_DEFAULT)))
-BLK = ROWS * LANE
+_IMPORT_ROWS = _validated_rows(int(os.environ.get("ZWRT_ROWS", ROWS_DEFAULT)))
+_tls = threading.local()
+
+
+def rows() -> int:
+    """Wavefront rows currently bound on THIS thread (kernel construction
+    reads this dynamically; entry points bind it to the scene's compiled
+    choice via with_scene_rows).  Falls back to the import-time
+    ZWRT_ROWS/default for scene-less helpers and tests."""
+    return getattr(_tls, "rows", _IMPORT_ROWS)
+
+
+def blk() -> int:
+    """Rays per kernel tile for the currently bound row count."""
+    return rows() * LANE
 
 
 def pick_rows(*, has_tree: bool, has_image_textures: bool) -> int:
@@ -87,7 +100,7 @@ def pick_rows(*, has_tree: bool, has_image_textures: bool) -> int:
     experiment, cornell 400x400@1024spp): 8 -> 244.6, 16 -> 282.6,
     32 -> 285.0, 64 -> 296.8 Mpaths/s for brute-trace scenes (+21% at 64);
     tree scenes REGRESS (balls 38.0 -> 29.0 at 64: the tile-lockstep walk
-    visits the union of nodes any of BLK rays needs, and 8x granularity
+    visits the union of nodes any of the tile's rays needs, and 8x granularity
     loses more culling than the vreg ILP buys).  Brute image-atlas scenes
     WIN too (measured on a degraded-tunnel session, so conservative:
     earth 12.8 -> 13.3, shrek 33.0 -> 35.4; the K-slot chain's extra
@@ -110,43 +123,40 @@ def pick_rows(*, has_tree: bool, has_image_textures: bool) -> int:
 
 
 class _RowsCtx:
-    """Bind the module row count while a kernel entry point traces.
+    """Bind the THREAD-LOCAL row count while a kernel entry point traces.
 
-    ROWS/BLK are module globals read dynamically by every kernel helper;
-    the public entry points (closest_hit_pallas, bounce_pallas,
-    bounce_pallas_regen, render_fused) bind them to the scene's compiled
-    choice for the duration of kernel construction.  Sound under jit
-    caching because ``rows`` is a static CompiledScene field (part of
-    every cache key) and wavefront shapes differ per choice.  An RLock
-    serializes rebinding across threads (same-thread nesting restores
-    the previous value) so concurrent renders of different-width scenes
-    cannot interleave mid-trace and build kernels whose tile shapes
-    disagree with their wavefront reshapes."""
-
-    _lock = threading.RLock()
+    rows()/blk() are read dynamically by every kernel helper; the public
+    entry points (closest_hit_pallas, bounce_pallas, bounce_pallas_regen,
+    render_fused) bind them to the scene's compiled choice for the
+    duration of kernel construction.  Sound under jit caching because
+    ``rows`` is a static CompiledScene field (part of every cache key)
+    and wavefront shapes differ per choice.  Thread-local storage (round 5,
+    VERDICT r4 #8 — previously module globals under an RLock) means
+    concurrent renders of different-width scenes no longer serialize on a
+    lock and cannot observe each other's binding; same-thread nesting
+    restores the previous value."""
 
     def __init__(self, rows: int):
         self.rows = _validated_rows(rows)
 
     def __enter__(self):
-        global ROWS, BLK
-        self._lock.acquire()
-        self._old = ROWS
-        ROWS, BLK = self.rows, self.rows * LANE
+        self._old = getattr(_tls, "rows", None)
+        _tls.rows = self.rows
 
     def __exit__(self, *exc):
-        global ROWS, BLK
-        ROWS, BLK = self._old, self._old * LANE
-        self._lock.release()
+        if self._old is None:
+            del _tls.rows
+        else:
+            _tls.rows = self._old
         return False
 
 
 def with_scene_rows(fn):
     """Decorator for kernel entry points taking ``scene`` first: binds
-    ROWS/BLK to ``scene.rows`` while the entry runs."""
+    the thread-local rows()/blk() to ``scene.rows`` while the entry runs."""
     @functools.wraps(fn)
     def wrapped(scene, *args, **kwargs):
-        with _RowsCtx(getattr(scene, "rows", ROWS)):
+        with _RowsCtx(getattr(scene, "rows", rows())):
             return fn(scene, *args, **kwargs)
     return wrapped
 
@@ -301,15 +311,15 @@ def _sphere_kernel(
 
     @pl.when(pj == 0)
     def _init():
-        t_ref[0] = jnp.full((ROWS, LANE), _BIG, real)
-        kind_ref[0] = jnp.full((ROWS, LANE), -1, jnp.int32)
-        idx_ref[0] = jnp.zeros((ROWS, LANE), jnp.int32)
+        t_ref[0] = jnp.full((rows(), LANE), _BIG, real)
+        kind_ref[0] = jnp.full((rows(), LANE), -1, jnp.int32)
+        idx_ref[0] = jnp.zeros((rows(), LANE), jnp.int32)
 
     # Tile skip: compaction clusters dead paths into all-dead tail tiles;
     # a single scalar test retires them without touching the VPU.
     @pl.when(jnp.max(alive_ref[0]) > 0)
     def _run():
-        for r in range(ROWS):
+        for r in range(rows()):
             ray_row = _load_ray_row(
                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref,
                 time_ref if has_moving else None, r, with_quadratic=True,
@@ -383,7 +393,7 @@ def _quad_kernel(
 
     @pl.when(jnp.max(alive_ref[0]) > 0)
     def _run():
-        for r in range(ROWS):
+        for r in range(rows()):
             ray_row = _load_ray_row(
                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref,
                 None, r, with_quadratic=False,
@@ -442,9 +452,9 @@ def _tree_kernel(
         kind_init = k0_ref[0]
         idx_init = i0_ref[0]
     else:
-        t_init = jnp.full((ROWS, LANE), _BIG, real)
-        kind_init = jnp.full((ROWS, LANE), -1, jnp.int32)
-        idx_init = jnp.zeros((ROWS, LANE), jnp.int32)
+        t_init = jnp.full((rows(), LANE), _BIG, real)
+        kind_init = jnp.full((rows(), LANE), -1, jnp.int32)
+        idx_init = jnp.zeros((rows(), LANE), jnp.int32)
     t_ref[0] = t_init
     kind_ref[0] = kind_init
     idx_ref[0] = idx_init
@@ -564,7 +574,7 @@ def _tree_leaf(
     groups = [make_group(g0 + j) for j in range(leaf_groups)]
 
     rows_t, rows_k, rows_i = [], [], []
-    for r in range(ROWS):
+    for r in range(rows()):
         ray_row = _load_ray_row(
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref,
             time_ref if (kind_code == PRIM_SPHERE and has_moving) else None,
@@ -605,15 +615,15 @@ def _prim_layout(attr: jnp.ndarray, prim_block: int) -> jnp.ndarray:
 
 def _ray_spec():
     return pl.BlockSpec(
-        (1, ROWS, LANE), lambda *g: (g[0], 0, 0), memory_space=pltpu.VMEM
+        (1, rows(), LANE), lambda *g: (g[0], 0, 0), memory_space=pltpu.VMEM
     )
 
 
 def _out_shapes(g):
     return [
-        jax.ShapeDtypeStruct((g, ROWS, LANE), real),
-        jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32),
-        jax.ShapeDtypeStruct((g, ROWS, LANE), jnp.int32),
+        jax.ShapeDtypeStruct((g, rows(), LANE), real),
+        jax.ShapeDtypeStruct((g, rows(), LANE), jnp.int32),
+        jax.ShapeDtypeStruct((g, rows(), LANE), jnp.int32),
     ]
 
 
@@ -728,9 +738,9 @@ def _trace_call(
     sph_span, quad_span,
 ):
     n = rays[0].shape[0]
-    g = n // BLK
-    alive_tiles = alive.reshape(g, ROWS, LANE)
-    tiles = tuple(r.reshape(g, ROWS, LANE) for r in rays)
+    g = n // blk()
+    alive_tiles = alive.reshape(g, rows(), LANE)
+    tiles = tuple(r.reshape(g, rows(), LANE) for r in rays)
 
     # -- sphere stage --
     if use_sph_tree:
@@ -774,10 +784,10 @@ def closest_hit_pallas(
     active=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused closest hit (brute or group-tree per kind).  Returns
-    (t, kind, idx) with t=+inf on miss.  Rays are padded to a BLK multiple
+    (t, kind, idx) with t=+inf on miss.  Rays are padded to a tile-size multiple
     internally."""
     n = origin.shape[0]
-    n_pad = -(-n // BLK) * BLK
+    n_pad = -(-n // blk()) * blk()
 
     def pad(x, fill=0.0):
         if n_pad == n:
