@@ -195,8 +195,9 @@ def main() -> int:
         Renderer, _render_band_regen,
     )
 
-    scene_name = sys.argv[1] if len(sys.argv) > 1 else "cornell_box"
-    depth = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    scene_name = args[0] if args else "cornell_box"
+    depth = int(args[1]) if len(args) > 1 else 10
     width = height = 64
     spp = 64
     scene = load_scene(scene_name)
@@ -277,6 +278,19 @@ def main() -> int:
     out["top_ops_per_lane"] = {k: round(v, 1) for k, v in flat[:15]}
 
     print(json.dumps(out, indent=1))
+
+    if "--update-constants" in sys.argv and scene_name == "cornell_box":
+        # bench.py's vreg-stream denominator counts cornell's bounce-body
+        # vector ops per lane-iteration; keep the committed constant in
+        # lockstep with the census that justifies it (VERDICT r4 weak #6).
+        from vpu_peak import update_constants
+
+        update_constants({
+            "census_ops_per_iter": out["bounce_body_vector_ops_per_lane"],
+            "census_tool": "tools/op_census.py",
+            "census_scene": scene_name,
+            "census_depth": depth,
+        })
     return 0
 
 

@@ -19,7 +19,24 @@ Prints one JSON line: measured peaks + the implied honest denominator for
 bench.py's roofline.  Run on hardware; the interpret-mode correctness of the
 kernels is covered by tests/test_vpu_peak.py.
 
-Usage: python tools/vpu_peak.py [--quick]
+Round-5 validation additions (VERDICT r4 #2 — the 34.09 TFLOP/s wall-clock
+number was flagged physically suspect):
+  * DEVICE time: the headline configs are re-timed from a jax.profiler
+    device trace (utils/profiler.py:parse_device_trace) so tunnel latency
+    and host dispatch cannot inflate the rate; the JSON carries both
+    wall-clock and device-ms rates side by side.
+  * iters-scaling table: the best config is run at 1x/2x/4x iterations at
+    FIXED shape; a genuine compute-bound kernel must scale linearly in
+    iters (the round-4 sweep only demonstrated scaling in unroll).
+  * physics bound: a one-line first-principles ceiling
+    (sublanes x lanes x ALUs x clock x 2 FLOP) is printed next to the
+    measurement so an implausible reading is self-flagging.
+  * --update-constants writes tools/roofline_constants.json, the single
+    committed source bench.py reads its roofline denominators from
+    (kills VERDICT r4 weak #6: hardcoded literals that drift from the
+    tools that justify them).
+
+Usage: python tools/vpu_peak.py [--quick] [--update-constants]
 """
 
 import functools
@@ -149,6 +166,103 @@ def measure(op, iters, chains, rows, reps=3, interpret=False, unroll=1):
     }
 
 
+def measure_device(op, iters, chains, rows, unroll=1, reps=2):
+    """Like measure(), but rates are computed from DEVICE milliseconds
+    parsed out of a jax.profiler trace — tunnel latency and host dispatch
+    cannot inflate the number.  Returns the measure() dict extended with
+    device_ms / gops_dev / gflops_dev (None if no device events captured,
+    e.g. on the CPU backend)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zig_weekend_raytracer_tpu.utils.profiler import run_with_device_trace
+
+    build = _kernels()
+    fn = jax.jit(build(op, iters, chains, rows, False, unroll))
+    c = jnp.full((1, LANE), 0.999, jnp.float32)
+    float(fn(c).sum())  # compile + warm outside the trace
+
+    def timed():
+        for _ in range(reps):
+            out = fn(c)
+        float(out.sum())
+
+    t0 = time.time()
+    _, agg = run_with_device_trace(timed)
+    wall = (time.time() - t0) / reps
+    device_ms = sum(ms for _, ms in agg.values()) / reps
+    r = measure(op, iters, chains, rows, reps=1, unroll=unroll)
+    r["wall_traced_s"] = round(wall, 5)
+    if device_ms > 0:
+        elems = rows * LANE * chains * iters * unroll
+        r["device_ms"] = round(device_ms, 3)
+        r["gops_dev"] = round(
+            elems * OPS_PER_ELEM[op] / (device_ms / 1e3) / 1e9, 1
+        )
+        r["gflops_dev"] = round(
+            elems * FLOPS_PER_ELEM[op] / (device_ms / 1e3) / 1e9, 1
+        )
+    else:
+        r["device_ms"] = None
+        r["gops_dev"] = None
+        r["gflops_dev"] = None
+    return r
+
+
+def iters_scaling(op, chains, rows, unroll, base_iters):
+    """Linearity-in-iters check at FIXED shape (VERDICT r4 #2b): a
+    compute-bound kernel's wall time must double when iters double.
+    Returns the per-point rows plus the 4x/1x time ratio (ideal 4.0)."""
+    points = []
+    for mult in (1, 2, 4):
+        r = measure(op, base_iters * mult, chains, rows, unroll=unroll)
+        r["iters_mult"] = mult
+        points.append(r)
+        print(f"  scaling {r}", file=sys.stderr)
+    ratio = points[-1]["time_s"] / max(points[0]["time_s"], 1e-9)
+    return {
+        "op": op, "rows": rows, "chains": chains, "unroll": unroll,
+        "base_iters": base_iters, "points": points,
+        "time_ratio_4x": round(ratio, 2),
+        "linear": bool(3.0 <= ratio <= 5.0),
+    }
+
+
+# First-principles ceiling published next to every measurement (VERDICT r4
+# #2c).  The VPU operates on (8, 128) vregs = 1024 lanes; public TPU
+# documentation (jax-ml.github.io/scaling-book) describes 4 ALUs per lane
+# position; v5e clock is ~1.74 GHz.  FMA = 2 FLOP.
+PHYSICS = {
+    "sublanes": 8,
+    "lanes": 128,
+    "alus_per_lane": 4,
+    "clock_ghz": 1.74,
+}
+PHYSICS_BOUND_VECTOR_TOPS = (
+    PHYSICS["sublanes"] * PHYSICS["lanes"] * PHYSICS["alus_per_lane"]
+    * PHYSICS["clock_ghz"] / 1e3
+)  # ~7.13 T vector-ops/s
+PHYSICS_BOUND_FMA_TFLOPS = 2 * PHYSICS_BOUND_VECTOR_TOPS  # ~14.3 TFLOP/s
+
+CONSTANTS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "roofline_constants.json"
+)
+
+
+def update_constants(updates: dict) -> None:
+    """Merge measured roofline constants into the committed JSON that
+    bench.py reads (tools/roofline_constants.json)."""
+    data = {}
+    if os.path.exists(CONSTANTS_PATH):
+        with open(CONSTANTS_PATH) as f:
+            data = json.load(f)
+    data.update(updates)
+    with open(CONSTANTS_PATH, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {CONSTANTS_PATH}", file=sys.stderr)
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     iters = 50_000 if quick else 400_000
@@ -169,12 +283,73 @@ def main() -> None:
         op: max((r for r in results if r["op"] == op), key=lambda r: r["gops"])
         for op in ops
     }
+
+    # Device-time re-measurement of the two load-bearing cells: the
+    # headline FMA peak (rows=64) and the (8,128) single-vreg issue bound
+    # (rows=8) that bench.py's vreg_stream denominator uses.
+    dev = {}
+    for key, (rows, chains, unroll) in (
+        ("fma_r64", (64, 8, 64)),
+        ("fma_r8", (8, 8, 64)),
+    ):
+        try:
+            dev[key] = measure_device("fma", iters, chains, rows,
+                                      unroll=unroll)
+            print(f"  device {key}: {dev[key]}", file=sys.stderr)
+        except Exception as e:  # CPU backend / trace capture unavailable
+            dev[key] = {"error": str(e)[:200]}
+
+    scaling = iters_scaling("fma", 8, 64, 64, max(iters // 4, 10_000))
+
+    peak_dev = dev.get("fma_r64", {}).get("gflops_dev")
+    stream_dev = dev.get("fma_r8", {}).get("gops_dev")
     out = {
-        "vpu_peak_fma_tflops": round(best["fma"]["gflops"] / 1e3, 3),
+        "vpu_peak_fma_tflops_wall": round(best["fma"]["gflops"] / 1e3, 3),
+        "vpu_peak_fma_tflops_device": (
+            round(peak_dev / 1e3, 3) if peak_dev else None
+        ),
+        "vreg_stream_gops_r8_wall": next(
+            (r["gops"] for r in results
+             if r["op"] == "fma" and r["rows"] == 8), None
+        ),
+        "vreg_stream_gops_r8_device": stream_dev,
         "vpu_peak_vector_gops": {op: best[op]["gops"] for op in best},
+        "physics_bound": dict(
+            PHYSICS,
+            vector_tops=round(PHYSICS_BOUND_VECTOR_TOPS, 2),
+            fma_tflops=round(PHYSICS_BOUND_FMA_TFLOPS, 2),
+            note=(
+                "first-principles ceiling: sublanes*lanes*ALUs*clock; a "
+                "measured rate far above this indicates a timing or "
+                "fold artifact, not a faster chip"
+            ),
+        ),
+        "iters_scaling": scaling,
+        "device_cells": dev,
         "sweep": results,
     }
     print(json.dumps(out))
+
+    if "--update-constants" in sys.argv:
+        # Prefer device-time rates; fall back to wall-clock with a flag.
+        peak = (peak_dev * 1e9) if peak_dev else best["fma"]["gflops"] * 1e9
+        stream = (
+            (stream_dev * 1e9) if stream_dev
+            else out["vreg_stream_gops_r8_wall"] * 1e9
+        )
+        update_constants({
+            "vpu_peak_flops": peak,
+            "vpu_peak_source": (
+                "device-trace" if peak_dev else "wall-clock"
+            ),
+            "vreg_stream_ops": stream,
+            "vreg_stream_source": (
+                "device-trace" if stream_dev else "wall-clock"
+            ),
+            "physics_bound_fma_tflops": round(PHYSICS_BOUND_FMA_TFLOPS, 2),
+            "iters_scaling_ratio_4x": scaling["time_ratio_4x"],
+            "vpu_peak_tool": "tools/vpu_peak.py",
+        })
 
 
 if __name__ == "__main__":
