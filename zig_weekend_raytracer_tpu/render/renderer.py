@@ -278,6 +278,40 @@ def _render_band_balanced(
         return fb.reshape(band_rows, width, 3)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "sampler", "has_dof"),
+)
+def _first_hit_probe(
+    scene: CompiledScene,
+    cam: CameraParams,
+    seed: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    sampler: SamplerKind,
+    has_dof: bool,
+):
+    """First-hit (kind, idx) of each pixel's sample-0 primary ray — the
+    ray-coherence key for tree-scene tile packing (one trace pass, no
+    shading)."""
+    from ..ops.trace import closest_hit
+
+    sidx = jnp.zeros_like(px)
+    ray_id = (
+        py.astype(jnp.uint32) * jnp.uint32(width) + px.astype(jnp.uint32)
+    )
+    origin, direction, time = generate_rays(
+        cam, has_dof, sampler, seed, ray_id, px, py, sidx,
+        spp, width, height,
+    )
+    hit = closest_hit(scene, origin, direction, time, 1e-4, jnp.inf)
+    return hit.kind, hit.idx
+
+
 def tile_order_lane_index(width, band_rows, tile):
     """(band_rows, width) array of each pixel's lane index in the tiled
     ray_grid order (s_par=1), accounting for tile padding."""
@@ -564,6 +598,72 @@ class Renderer:
             has_dof=has_dof, cam_consts=cam_c, rr=self.russian_roulette, clamp=self.clamp_indirect,
         )
 
+    def _render_band_coherent_driver(
+        self, scene: Scene, seed, band_y0: int, rows_eff: int,
+        band_rows: int, width: int, height: int, spp: int, has_dof, cam_c,
+    ) -> jnp.ndarray:
+        """Ray-coherence-sorted tile packing for TREE scenes (VERDICT r4
+        #3; opt-in ZWRT_COHERENT=1): pixels are ordered by their primary
+        ray's first-hit primitive (kind, idx — primitives are stored in
+        tree build order, so nearby idx = nearby leaf), ties kept in
+        image-tile order.  A tile's 1024 rays then start on the same tree
+        neighborhood, shrinking the node union the lockstep traversal
+        must visit for the first bounces (the standard wavefront-tracer
+        answer to divergence; the reference's per-ray walk never pays a
+        union, src/entity.zig:286-303).  A pure pixel permutation:
+        bit-identical radiance per pixel."""
+        scene_cache = self._plan_cache.get(scene.compiled)
+        if scene_cache is None:
+            scene_cache = self._plan_cache.setdefault(scene.compiled, {})
+        key = (
+            "coh", width, height, band_y0, spp,
+            self.max_ray_bounce_depth, self.sampler, self.seed,
+        )
+        entry = scene_cache.get(key)
+        if entry is None:
+            BLK = scene.compiled.rows * 128
+            cam = camera_params(scene.camera, width, height)
+            ys, xs = np.divmod(np.arange(rows_eff * width), width)
+            kind, idx = _first_hit_probe(
+                scene.compiled, cam, seed,
+                jnp.asarray(xs.astype(np.int32)),
+                jnp.asarray((ys + band_y0).astype(np.int32)),
+                width=width, height=height, spp=spp,
+                sampler=self.sampler, has_dof=has_dof,
+            )
+            kind = np.asarray(kind).astype(np.int64)
+            idx = np.asarray(idx).astype(np.int64)
+            hit_key = np.where(kind < 0, -1, (kind << 24) + idx)
+            tile = pick_tile(width, band_rows)
+            lane_idx = tile_order_lane_index(width, band_rows, tile)
+            lane_ord = lane_idx[:rows_eff].reshape(-1)
+            order = np.lexsort((lane_ord, hit_key))
+            px = xs[order]
+            py = ys[order] + band_y0
+            n_pad = -(-px.size // BLK) * BLK
+            pad = n_pad - px.size
+            s1 = np.full(px.size, spp, np.int64)
+            if pad:
+                px = np.concatenate([px, np.zeros(pad, np.int64)])
+                py = np.concatenate([py, np.full(pad, band_y0, np.int64)])
+                s1 = np.concatenate([s1, np.zeros(pad, np.int64)])
+            while len(scene_cache) >= self._plan_cache_max_configs:
+                scene_cache.pop(next(iter(scene_cache)))
+            entry = scene_cache[key] = {
+                "plan": tuple(
+                    jnp.asarray(a.astype(np.int32))
+                    for a in (px, py, np.zeros(n_pad, np.int64), s1)
+                )
+            }
+        pxd, pyd, s0d, s1d = entry["plan"]
+        return _render_band_balanced(
+            scene.compiled, seed, jnp.int32(band_y0), pxd, pyd, s0d, s1d,
+            width=width, height=height, band_rows=band_rows, spp=spp,
+            max_depth=self.max_ray_bounce_depth, sampler=self.sampler,
+            has_dof=has_dof, cam_consts=cam_c, rr=self.russian_roulette,
+            clamp=self.clamp_indirect,
+        )
+
     def render(
         self,
         scene: Scene,
@@ -648,9 +748,23 @@ class Renderer:
                 and not (sc.has_sph_tree or sc.has_quad_tree)
                 and not os.environ.get("ZWRT_NO_SORT")
             )
+            # Coherence-sorted packing for tree scenes (VERDICT r4 #3),
+            # opt-in while it's being priced on hardware.
+            coherent = (
+                s_par == 1
+                and not balance
+                and (sc.has_sph_tree or sc.has_quad_tree)
+                and os.environ.get("ZWRT_COHERENT", "0") not in ("", "0")
+            )
             for b in range(n_bands):
                 if balance:
                     out = self._render_band_balanced_driver(
+                        scene, seed, b * band_rows,
+                        min(band_rows, height - b * band_rows),
+                        band_rows, width, height, spp, has_dof, cam_c,
+                    )
+                elif coherent:
+                    out = self._render_band_coherent_driver(
                         scene, seed, b * band_rows,
                         min(band_rows, height - b * band_rows),
                         band_rows, width, height, spp, has_dof, cam_c,
