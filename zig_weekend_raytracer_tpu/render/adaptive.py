@@ -187,6 +187,48 @@ def build_adaptive_plan(
     )
 
 
+import functools
+
+import jax
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "half", "base", "extra_total", "cap", "band_y0", "pilot",
+        "lane_cap", "sort_lanes", "m_lanes", "width", "rows_eff",
+    ),
+)
+def _plan_pipeline(
+    sum_a, sum_b, order, *,
+    half, base, extra_total, cap, band_y0, pilot, lane_cap,
+    sort_lanes, m_lanes, width, rows_eff,
+):
+    """Variance -> allocation -> lane plan as ONE device program (static
+    shapes; see render/adaptive_device.py).  Returns
+    (n_extra (rows_eff, W) i32, px, py, s0, s1 (m_lanes,) i32)."""
+    from .adaptive_device import (
+        allocate_extra_dev, build_adaptive_plan_dev, variance_weights_dev,
+    )
+
+    inv = jnp.float32(1.0 / half)
+    weight = variance_weights_dev(
+        sum_a[:rows_eff] * inv, sum_b[:rows_eff] * inv
+    )
+    n_extra = jnp.int32(base) + allocate_extra_dev(
+        weight, extra_total, cap - base
+    )
+    band_rows = sum_a.shape[0]
+    n_full = jnp.zeros((band_rows, width), jnp.int32).at[:rows_eff].set(
+        n_extra
+    )
+    px, py, s0, s1 = build_adaptive_plan_dev(
+        n_full, order, band_y0=band_y0, pilot=pilot, lane_cap=lane_cap,
+        sort_lanes=sort_lanes, m_lanes=m_lanes, width=width,
+    )
+    return n_extra, px, py, s0, s1
+
+
 def pick_pilot(spp: int) -> int:
     """Default pilot: the largest power of two <= max(4, spp/8), clamped
     to spp/2 — big enough for a usable noise map, small enough to leave
@@ -273,8 +315,21 @@ def render_adaptive(
         sc = sc.with_rows(8)
     half = pilot // 2
 
-    fb = np.zeros((height, width, 3), np.float32)
-    counts = np.zeros((height, width), np.int64)
+    # Device-side plan pipeline (round 5, VERDICT r4 #6): the pilot
+    # framebuffers never leave the device — variance, allocation and the
+    # lane plan are ONE jitted program with static shapes, and only the
+    # final image transfers.  The round-4 decomposition priced the host
+    # path at ~0.5 s of tunnel d2h/h2d + numpy around ~0.3 s of actual
+    # rendering at the bench config.  ZWRT_ADAPTIVE_HOST=1 keeps the
+    # reference host path (numpy f64 allocation; equal budget, possibly
+    # different tie-breaks).
+    use_host = bool(_os.environ.get("ZWRT_ADAPTIVE_HOST"))
+    sort_lanes = not (sc.has_sph_tree or sc.has_quad_tree)
+    base = int((spp - pilot) * _RESERVE)
+    tile = pick_tile(width, band_rows)
+
+    fb_bands = []
+    counts = np.zeros((height, width), np.int64) if return_stats else None
     for b in range(n_bands):
         y0 = b * band_rows
         rows = min(band_rows, height - y0)
@@ -293,30 +348,50 @@ def render_adaptive(
             sc, seed, jnp.int32(y0), jnp.int32(half),
             sample_limit=pilot, **kw,
         )
-        sa = np.asarray(sum_a)[:rows]  # one device->host copy per half
-        sb = np.asarray(sum_b)[:rows]
 
-        weight = variance_weights(sa / half, sb / half)
-        base = int((spp - pilot) * _RESERVE)
-        n_extra = base + allocate_extra(
-            weight, (spp - pilot - base) * rows * width, cap - base
-        )
-        if band_rows != rows:  # pad rows get nothing
-            n_full = np.zeros((band_rows, width), np.int64)
-            n_full[:rows] = n_extra
+        if use_host:
+            sa = np.asarray(sum_a)[:rows]
+            sb = np.asarray(sum_b)[:rows]
+            weight = variance_weights(sa / half, sb / half)
+            n_extra = base + allocate_extra(
+                weight, (spp - pilot - base) * rows * width, cap - base
+            )
+            if band_rows != rows:  # pad rows get nothing
+                n_full = np.zeros((band_rows, width), np.int64)
+                n_full[:rows] = n_extra
+            else:
+                n_full = n_extra
+            px, py, s0, s1 = build_adaptive_plan(
+                n_full, y0, pilot, tile, lane_cap,
+                sort_lanes=sort_lanes, blk=sc.rows * 128,
+            )
+            px, py, s0, s1 = (
+                jnp.asarray(a) for a in (px, py, s0, s1)
+            )
+            n_extra_dev = jnp.asarray(n_extra.astype(np.int32))
         else:
-            n_full = n_extra
+            from .adaptive_device import (
+                build_adaptive_plan_dev, plan_lane_budget,
+                variance_weights_dev, allocate_extra_dev,
+            )
+            from .renderer import tile_order_lane_index
 
-        tile = pick_tile(width, band_rows)
-        px, py, s0, s1 = build_adaptive_plan(
-            n_full, y0, pilot, tile, lane_cap,
-            sort_lanes=not (sc.has_sph_tree or sc.has_quad_tree),
-            blk=sc.rows * 128,
-        )
+            order = np.argsort(
+                tile_order_lane_index(width, band_rows, tile).reshape(-1),
+                kind="stable",
+            ).astype(np.int32)  # shape-only constant, cheap to rebuild
+            m_lanes = plan_lane_budget(band_rows * width, sc.rows * 128)
+            n_extra_dev, px, py, s0, s1 = _plan_pipeline(
+                sum_a, sum_b, jnp.asarray(order),
+                half=half, base=base,
+                extra_total=(spp - pilot - base) * rows * width,
+                cap=cap, band_y0=y0, pilot=pilot, lane_cap=lane_cap,
+                sort_lanes=sort_lanes, m_lanes=m_lanes, width=width,
+                rows_eff=rows,
+            )
+
         extra = _render_band_balanced(
-            sc, seed, jnp.int32(y0),
-            jnp.asarray(px), jnp.asarray(py),
-            jnp.asarray(s0), jnp.asarray(s1),
+            sc, seed, jnp.int32(y0), px, py, s0, s1,
             width=width, height=height, band_rows=band_rows, spp=spp,
             max_depth=renderer.max_ray_bounce_depth,
             sampler=renderer.sampler,
@@ -324,12 +399,19 @@ def render_adaptive(
             cam_consts=cam_c, rr=renderer.russian_roulette,
             clamp=renderer.clamp_indirect,
         )
-        band_sum = sa + sb + np.asarray(extra)[:rows]
-        n_pix = pilot + n_extra
-        fb[y0 : y0 + rows] = band_sum / n_pix[..., None]
-        counts[y0 : y0 + rows] = n_pix
+        n_pix_dev = jnp.int32(pilot) + n_extra_dev
+        band_fb = (
+            (sum_a + sum_b + extra)[:rows]
+            / n_pix_dev[..., None].astype(real)
+        )
+        fb_bands.append(band_fb)
+        if return_stats:
+            counts[y0 : y0 + rows] = np.asarray(n_pix_dev)
 
-    fb_dev = jnp.asarray(fb, real)
+    fb_dev = (
+        fb_bands[0] if len(fb_bands) == 1
+        else jnp.concatenate(fb_bands, axis=0)
+    )
     if return_stats:
         return fb_dev, {"n_samples": counts, "pilot": pilot}
     return fb_dev
