@@ -73,7 +73,22 @@ step 07_rtw_coh 2400 env ZWRT_COHERENT=1 python tools/scenebench.py rtw_final 40
 # 3. Device-side adaptive planner (VERDICT r4 #6): target <= 2x uniform
 step 08_adaptive 1800 python tools/scenebench.py cornell_box 400 400 128 10 4 --adaptive
 
-# 4. Texture LUT mode A/B (VERDICT r4 #5) — steps appended once the mode
-#    lands; see tpu_batch_r5c.sh if split.
+# 4. Texture LUT mode A/B (VERDICT r4 #5): shrek at several budgets, rtw
+#    and earth at the default budget.  Quality delta vs the exact path is
+#    measured by the scenebench mean plus tools/imgdiff.py offline.
+step 09_shrek_plain 1800 python tools/scenebench.py shrek_quads 400 400 128 10 4
+step 10_shrek_lut8k 1800 env ZWRT_TEX_LUT=8192 python tools/scenebench.py shrek_quads 400 400 128 10 4
+step 11_shrek_lut32k 2400 env ZWRT_TEX_LUT=32768 python tools/scenebench.py shrek_quads 400 400 128 10 3
+step 12_rtw_lut8k 2400 env ZWRT_TEX_LUT=8192 python tools/scenebench.py rtw_final 400 400 64 8 3
+step 13_earth_lut8k 2400 env ZWRT_TEX_LUT=8192 python tools/scenebench.py earth 400 400 128 10 3
+
+# 5. Re-measure the r5 batch's one degraded-window outlier (rtw 64/8 read
+#    37 s in tpu_runs/r5/08; expected ~1.35 s)
+step 14_rtw_64_8 1800 python tools/scenebench.py rtw_final 400 400 64 8 4
+
+# 6. Speculative two-successor traversal A/B (r5 steps 25/26 crashed on a
+#    Mosaic i1-vector-select; fixed — the carried hit mask is i32 now)
+step 15_rtw_spec 2400 env ZWRT_TRAV=spec python tools/scenebench.py rtw_final 400 400 64 8 3
+step 16_balls_spec 2400 env ZWRT_TRAV=spec python tools/scenebench.py balls 400 400 128 10 3
 
 note "== batch complete $(date -u +%H:%M:%S)"

@@ -647,10 +647,17 @@ def _tree_pass_spec(
         node, box_hit, t, kind, idx = carry
         miss_link = link_ref[node, 0]
         leaf_group = link_ref[node, 1]
-        hit_desc = slab(jnp.minimum(node + 1, n_nodes - 1), t)
-        hit_miss = slab(jnp.minimum(miss_link, n_nodes - 1), t)
+        # the carried hit mask is i32, not bool: Mosaic cannot legalize
+        # arith.select on vector<8x128xi1> operands (found on hardware in
+        # round 5 — interpret mode accepted it)
+        hit_desc = slab(jnp.minimum(node + 1, n_nodes - 1), t).astype(
+            jnp.int32
+        )
+        hit_miss = slab(jnp.minimum(miss_link, n_nodes - 1), t).astype(
+            jnp.int32
+        )
 
-        any_hit = jnp.any(box_hit)
+        any_hit = jnp.any(box_hit > 0)
         is_leaf = leaf_group >= 0
         t, kind, idx = jax.lax.cond(
             is_leaf & any_hit,
@@ -667,7 +674,7 @@ def _tree_pass_spec(
         nxt_hit = jnp.where(go_desc, hit_desc, hit_miss)
         return nxt, nxt_hit, t, kind, idx
 
-    root_hit = slab(jnp.int32(0), t)
+    root_hit = slab(jnp.int32(0), t).astype(jnp.int32)
     _, _, t, kind, idx = jax.lax.while_loop(
         lambda c: c[0] < n_nodes, body,
         (jnp.int32(0), root_hit, t, kind, idx),
