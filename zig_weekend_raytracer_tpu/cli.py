@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import sys
 
 from .models import DEFAULT_ASSET_DIR, SceneType, load_scene
@@ -65,6 +66,13 @@ class UserArgs:
     # iterations applied to the framebuffer before writing (0 = off).
     # Computes the first-hit AOV buffers if --aov has not already.
     denoise: int = 0
+    # In-kernel texture LUT (0 = off): every atlas image is box-
+    # downsampled to at most this many texels and sampled INSIDE the
+    # bounce megakernel via lane shuffles, eliminating the suspend/XLA-
+    # atlas round trip (scene.py:_build_tex_lut).  A budget >= the native
+    # texel count is exact; smaller budgets trade texture resolution for
+    # throughput (quantify with tools/imgdiff.py).
+    texture_lut: int = 0
     # Print a throughput line after the render: paths traced, wall-clock,
     # Mpaths/s (the headline metric BASELINE.md tracks).
     stats: bool = False
@@ -127,6 +135,11 @@ def main(argv=None) -> int:
         from .utils.profiler import set_profiling
 
         set_profiling(True)
+
+    if args.texture_lut:
+        # scene compile reads the budget from the environment
+        # (scene.py:_build_tex_lut)
+        os.environ["ZWRT_TEX_LUT"] = str(int(args.texture_lut))
 
     if args.scene_file:
         from .models import load_scene_file

@@ -68,6 +68,38 @@ def atlas_flat_index(image_dims, atlas_hw, img_id, u, v) -> jnp.ndarray:
     return (img_id * (ah * aw)) + y * aw + x
 
 
+def lut_flat_index(lut_dims, img_id, u, v) -> jnp.ndarray:
+    """(u, v, image) -> flat texel index into the packed texture LUT
+    (CompiledScene.tex_lut_tab) from the STATIC per-image (w, h, base)
+    dims.  Same select-chain + clip/mul/cast shape as atlas_flat_index —
+    runs identically in XLA and inside the Pallas megakernel."""
+    w = jnp.zeros(jnp.shape(img_id), real)
+    h = jnp.zeros(jnp.shape(img_id), real)
+    wi = jnp.zeros(jnp.shape(img_id), jnp.int32)
+    hi = jnp.zeros(jnp.shape(img_id), jnp.int32)
+    base = jnp.zeros(jnp.shape(img_id), jnp.int32)
+    for i, (iw, ih, ib) in enumerate(lut_dims):
+        sel = img_id == i
+        w = jnp.where(sel, real(iw), w)
+        h = jnp.where(sel, real(ih), h)
+        wi = jnp.where(sel, iw, wi)
+        hi = jnp.where(sel, ih, hi)
+        base = jnp.where(sel, ib, base)
+    uc = jnp.clip(u, 0.0, 1.0)
+    vc = 1.0 - jnp.clip(v, 0.0, 1.0)  # flip to image coords
+    x = jnp.clip((uc * w).astype(jnp.int32), 0, wi - 1)
+    y = jnp.clip((vc * h).astype(jnp.int32), 0, hi - 1)
+    return base + y * wi + x
+
+
+def lut_lookup(scene, img_id, u, v) -> V3:
+    """XLA twin of the in-kernel LUT fetch (tests + reference gather):
+    one 1D gather of the packed texel by lut_flat_index."""
+    flat = lut_flat_index(scene.tex_lut_dims, img_id, u, v)
+    packed = scene.tex_lut_tab.reshape(-1)[flat].astype(jnp.uint32)
+    return _unpack_texel(packed)
+
+
 def _unpack_texel(packed) -> V3:
     scale = real(1.0 / 255.0)
     texel = V3(
