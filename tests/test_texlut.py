@@ -169,3 +169,46 @@ def test_lut_render_tree_scene(pallas_interpret):
     fb_chain = r.render(build().compile(), 12, 12)
     fb_lut = r.render(_compile_lut(build(), 10_000), 12, 12)
     np.testing.assert_allclose(fb_lut, fb_chain, rtol=3e-5, atol=3e-6)
+
+
+def test_lut_emissive_image_in_kernel(pallas_interpret):
+    """Image-textured EMISSIVE materials force the XLA integrator on the
+    chain path (atlas emission needs in-kernel texture access); the LUT
+    provides it, so the gate lifts and the kernel render must match the
+    XLA integrator."""
+    from zig_weekend_raytracer_tpu.ops.pallas_bounce import (
+        supports_bounce_kernel, supports_fused_render,
+    )
+    from zig_weekend_raytracer_tpu.render.renderer import Renderer
+
+    def build():
+        b = SceneBuilder()
+        m_lamp = b.diffuse_light(b.image_texture(_checker_img()))
+        m_gray = b.lambertian(b.solid_color((0.6, 0.6, 0.6)))
+        b.add(b.quad((-4, -1, -4), (8, 0, 0), (0, 0, 8), m_gray))
+        b.add(b.quad((-2, 0, -2), (4, 0, 0), (0, 4, 0), m_lamp))
+        b.set_background((0.0, 0.0, 0.0))
+        b.set_camera(Camera(look_from=(0, 2, 8), look_at=(0, 1, 0)))
+        return b
+
+    plain = build().compile().compiled
+    assert plain.has_emissive_image and not supports_bounce_kernel(plain)
+
+    lut_scene = _compile_lut(build(), 10_000)
+    assert supports_bounce_kernel(lut_scene.compiled)
+    assert supports_fused_render(lut_scene.compiled)
+
+    r = Renderer(samples_per_pixel=4, max_ray_bounce_depth=4, seed=0)
+    fb_kernel = r.render(lut_scene, 12, 12)
+
+    os.environ["ZWRT_NO_PALLAS"] = "1"
+    from zig_weekend_raytracer_tpu.ops.trace import _use_pallas_backend
+
+    _use_pallas_backend.cache_clear()
+    try:
+        fb_ref = r.render(lut_scene, 12, 12)
+    finally:
+        del os.environ["ZWRT_NO_PALLAS"]
+        _use_pallas_backend.cache_clear()
+    assert float(fb_kernel.max()) > 0.05  # the lamp is visible
+    np.testing.assert_allclose(fb_kernel, fb_ref, rtol=3e-5, atol=3e-6)

@@ -1617,10 +1617,14 @@ def _fused_render_kernel(seed_ref, *refs, cfg):
 
 def supports_bounce_kernel(scene: CompiledScene) -> bool:
     """The kernel handles every reference feature except image-textured
-    EMISSIVE materials (atlas emission would need in-kernel atlas access)
-    and checker-in-checker nesting (un-flattenable into one shade record);
-    those scenes use the XLA integrator (no reference scene has either)."""
-    return not scene.has_emissive_image and not scene.has_nested_checker
+    EMISSIVE materials (atlas emission needs in-kernel atlas access — the
+    texture LUT provides exactly that, so the gate lifts when tex_lut_dims
+    is set) and checker-in-checker nesting (un-flattenable into one shade
+    record); the rest use the XLA integrator (no reference scene has
+    either)."""
+    return (
+        not scene.has_emissive_image or bool(scene.tex_lut_dims)
+    ) and not scene.has_nested_checker
 
 
 def supports_fused_render(scene: CompiledScene) -> bool:
@@ -1629,7 +1633,7 @@ def supports_fused_render(scene: CompiledScene) -> bool:
     image scenes use the per-bounce kernel instead."""
     return (
         not scene.has_image_textures or bool(scene.tex_lut_dims)
-    ) and not scene.has_emissive_image
+    ) and (not scene.has_emissive_image or bool(scene.tex_lut_dims))
 
 
 def _freeze(d):
