@@ -66,3 +66,9 @@ step 03_lutq_earth 3600 python tools/lut_quality.py earth 8192 --spp=64
 step 04_golden 5400 python tools/tpu_golden_check.py
 
 note "== batch complete $(date -u +%H:%M:%S)"
+
+# 3. VPU-peak re-run with the per-zone device-time breakdown (the r5b run
+#    read identical 141.3 ms device totals for rows=8 and rows=64 — the
+#    latency-bound story — but wall < device suggests either early host
+#    reads or double-counted trace rows; the zone breakdown disambiguates)
+step 05_vpu_zones 3600 python tools/vpu_peak.py --update-constants

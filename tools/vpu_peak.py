@@ -191,8 +191,19 @@ def measure_device(op, iters, chains, rows, unroll=1, reps=2):
     _, agg = run_with_device_trace(timed)
     wall = (time.time() - t0) / reps
     device_ms = sum(ms for _, ms in agg.values()) / reps
+    # Double-count guard (round 5): profiler traces can carry the same
+    # kernel execution on more than one device timeline row; the max
+    # single zone is a floor immune to that, and the full per-zone
+    # breakdown is published so a sum >> max-zone self-flags.
+    device_ms_max_zone = (
+        max(ms for _, ms in agg.values()) / reps if agg else 0.0
+    )
     r = measure(op, iters, chains, rows, reps=1, unroll=unroll)
     r["wall_traced_s"] = round(wall, 5)
+    r["device_zones"] = {
+        k: (n, round(ms, 3)) for k, (n, ms) in sorted(agg.items())
+    }
+    r["device_ms_max_zone"] = round(device_ms_max_zone, 3)
     if device_ms > 0:
         elems = rows * LANE * chains * iters * unroll
         r["device_ms"] = round(device_ms, 3)
