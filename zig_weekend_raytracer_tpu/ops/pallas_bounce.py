@@ -73,7 +73,6 @@ from ..sampling.hashrng import RR_P_MIN
 from ..textures import atlas_flat_index
 from ..textures import checker_parity
 from ..textures import lut_flat_index
-from ..textures import _unpack_texel
 from ..geometry import quad as quad_g
 from ..geometry import sphere as sphere_g
 from .shade import (
@@ -202,7 +201,16 @@ def _texlut_fetch(texlut_ref, flat, n_rows: int):
         )
         sh = jnp.take_along_axis(tab, lane, axis=1)
         out = jnp.where(row == rr, sh, out) if n_rows > 1 else sh
-    return _unpack_texel(out.astype(jnp.uint32))
+    # i32 unpack (NOT textures._unpack_texel): Mosaic has no u32 -> f32
+    # cast (found on hardware, tpu_runs/r5b/10); texel bytes are < 2^24
+    # so i32 shifts/masks are exact and i32 -> f32 casts are supported.
+    scale = np.float32(1.0 / 255.0)
+    texel = V3(
+        (out & 0xFF).astype(real) * scale,
+        ((out >> 8) & 0xFF).astype(real) * scale,
+        ((out >> 16) & 0xFF).astype(real) * scale,
+    )
+    return texel * texel  # gamma-2 linearize (math.zig:172-174)
 
 
 # ---------------------------------------------------------------------------
