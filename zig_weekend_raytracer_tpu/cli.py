@@ -158,6 +158,15 @@ def main(argv=None) -> int:
     timer.log_info_elapsed("scene initialized")
 
     if args.adaptive and args.shard != "none":
+        # Why not combinable: the adaptive allocation is a GLOBAL function
+        # of the pilot noise map (largest-remainder apportionment over all
+        # pixels, render/adaptive_device.py) — a sharded version needs the
+        # psum'd noise map on every device plus per-device plan slices
+        # whose lane counts are only known at run time, i.e. a second
+        # collective + dynamic re-balance between the pilot and extra
+        # passes.  Doable, but the plan pipeline is ~ms and adaptive
+        # renders are short; shard the uniform render instead and keep
+        # adaptive single-device until a real multi-chip workload needs it.
         print("error: --adaptive is single-device (drop --shard)",
               file=sys.stderr)
         return 1
