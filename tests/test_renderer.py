@@ -98,7 +98,10 @@ def test_coherent_driver_matches_plain(pallas_interpret, monkeypatch):
     framebuffer on a tree scene (VERDICT r4 #3)."""
     scene = _tree_scene()
     assert scene.compiled.has_sph_tree
-    # regen_min_wave=1 forces s_par == 1 (the coherent gate) at this size
+    # regen_min_wave=1 forces s_par == 1 (the coherent gate) at this size;
+    # coherent packing is DEFAULT ON for tree scenes, so the plain side
+    # opts out explicitly
+    monkeypatch.setenv("ZWRT_COHERENT", "0")
     r = Renderer(samples_per_pixel=2, max_ray_bounce_depth=3,
                  regen_min_wave=1)
     plain = r.render(scene, 16, 16)

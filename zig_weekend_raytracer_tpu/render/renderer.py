@@ -748,13 +748,15 @@ class Renderer:
                 and not (sc.has_sph_tree or sc.has_quad_tree)
                 and not os.environ.get("ZWRT_NO_SORT")
             )
-            # Coherence-sorted packing for tree scenes (VERDICT r4 #3),
-            # opt-in while it's being priced on hardware.
+            # Coherence-sorted packing for tree scenes (VERDICT r4 #3):
+            # DEFAULT ON since the hardware A/B (rtw 1.360 -> 1.209 s
+            # = +13%, balls neutral 37.6 vs 37.5, identical images —
+            # tpu_runs/r5b/04-07); ZWRT_COHERENT=0 opts out.
             coherent = (
                 s_par == 1
                 and not balance
                 and (sc.has_sph_tree or sc.has_quad_tree)
-                and os.environ.get("ZWRT_COHERENT", "0") not in ("", "0")
+                and os.environ.get("ZWRT_COHERENT", "1") not in ("", "0")
             )
             for b in range(n_bands):
                 if balance:
