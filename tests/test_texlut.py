@@ -212,3 +212,25 @@ def test_lut_emissive_image_in_kernel(pallas_interpret):
         _use_pallas_backend.cache_clear()
     assert float(fb_kernel.max()) > 0.05  # the lamp is visible
     np.testing.assert_allclose(fb_kernel, fb_ref, rtol=3e-5, atol=3e-6)
+
+
+def test_lut_scene_sharded_matches_single(pallas_interpret):
+    """LUT scenes ride the fused megakernel inside shard_map unchanged:
+    a 2-device sharded render equals the single-device render."""
+    import jax
+
+    if jax.device_count() < 2:
+        import pytest
+
+        pytest.skip("needs the multi-device CPU mesh (conftest)")
+    from zig_weekend_raytracer_tpu.parallel import make_mesh, render_sharded
+    from zig_weekend_raytracer_tpu.render.renderer import Renderer
+
+    scene = _compile_lut(_image_scene(), 10_000)
+    r = Renderer(samples_per_pixel=4, max_ray_bounce_depth=4, seed=0)
+    single = r.render(scene, 16, 16)
+    mesh = make_mesh(2)
+    fb = np.asarray(render_sharded(
+        scene, 16, 16, 4, mesh=mesh, shard="samples", max_depth=4, seed=0,
+    ))
+    np.testing.assert_allclose(fb, single, rtol=3e-5, atol=3e-6)
