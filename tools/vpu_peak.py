@@ -299,12 +299,17 @@ def main() -> None:
     # headline FMA peak (rows=64) and the (8,128) single-vreg issue bound
     # (rows=8) that bench.py's vreg_stream denominator uses.
     dev = {}
-    for key, (rows, chains, unroll) in (
-        ("fma_r64", (64, 8, 64)),
-        ("fma_r8", (8, 8, 64)),
+    for key, (op, rows, chains, unroll) in (
+        ("fma_r64", ("fma", 64, 8, 64)),
+        ("fma_r8", ("fma", 8, 8, 64)),
+        # the quadratic newton chain CANNOT be strength-reduced (no closed
+        # form), so its device rate is the fold-proof anchor: if fma reads
+        # far above newton per-FLOP, the affine chain folded after all
+        ("newton_r64", ("newton", 64, 8, 64)),
+        ("add_r64", ("add", 64, 8, 64)),
     ):
         try:
-            dev[key] = measure_device("fma", iters, chains, rows,
+            dev[key] = measure_device(op, iters, chains, rows,
                                       unroll=unroll)
             print(f"  device {key}: {dev[key]}", file=sys.stderr)
         except Exception as e:  # CPU backend / trace capture unavailable
@@ -312,8 +317,19 @@ def main() -> None:
 
     scaling = iters_scaling("fma", 8, 64, 64, max(iters // 4, 10_000))
 
-    peak_dev = dev.get("fma_r64", {}).get("gflops_dev")
-    stream_dev = dev.get("fma_r8", {}).get("gops_dev")
+    def _dev_rate(cell, field):
+        """Rate recomputed on the max-single-zone device time (immune to
+        the observed jit_wrapped/tpu_custom_call double count)."""
+        v = cell.get(field)
+        if v is None or not cell.get("device_ms") or not cell.get(
+            "device_ms_max_zone"
+        ):
+            return v
+        return round(v * cell["device_ms"] / cell["device_ms_max_zone"], 1)
+
+    peak_dev = _dev_rate(dev.get("fma_r64", {}), "gflops_dev")
+    stream_dev = _dev_rate(dev.get("fma_r8", {}), "gops_dev")
+    newton_dev = _dev_rate(dev.get("newton_r64", {}), "gflops_dev")
     out = {
         "vpu_peak_fma_tflops_wall": round(best["fma"]["gflops"] / 1e3, 3),
         "vpu_peak_fma_tflops_device": (
@@ -324,6 +340,9 @@ def main() -> None:
              if r["op"] == "fma" and r["rows"] == 8), None
         ),
         "vreg_stream_gops_r8_device": stream_dev,
+        "newton_tflops_device": (
+            round(newton_dev / 1e3, 3) if newton_dev else None
+        ),
         "vpu_peak_vector_gops": {op: best[op]["gops"] for op in best},
         "physics_bound": dict(
             PHYSICS,
