@@ -72,3 +72,11 @@ note "== batch complete $(date -u +%H:%M:%S)"
 #    latency-bound story — but wall < device suggests either early host
 #    reads or double-counted trace rows; the zone breakdown disambiguates)
 step 05_vpu_zones 3600 python tools/vpu_peak.py --update-constants
+
+# 4. Shrek LUT A/B re-run (r5b steps 10-11 ran before the u32->f32 cast
+#    fix) + the LUT x coherent combination on rtw
+step 06_shrek_lut8k 1800 env ZWRT_TEX_LUT=8192 python tools/scenebench.py shrek_quads 400 400 128 10 4
+step 07_shrek_lut32k 2400 env ZWRT_TEX_LUT=32768 python tools/scenebench.py shrek_quads 400 400 128 10 3
+step 08_rtw_lut_coh 2400 env ZWRT_TEX_LUT=8192 ZWRT_COHERENT=1 python tools/scenebench.py rtw_final 400 400 64 8 3
+step 09_rtw_lut_128_10 2400 env ZWRT_TEX_LUT=8192 python tools/scenebench.py rtw_final 400 400 128 10 3
+step 10_earth_lut32k 1800 env ZWRT_TEX_LUT=32768 python tools/scenebench.py earth 400 400 128 10 3
