@@ -164,14 +164,21 @@ def test_adaptive_xla_fallback_renders_uniform():
         _use_pallas_backend.cache_clear()
 
 
-def test_cli_adaptive_rejects_shard():
+def test_cli_adaptive_with_shard(tmp_path):
+    """Round 5: --adaptive combines with --shard through the CLI
+    (parallel/render.py:render_adaptive_sharded; on the plain CPU test
+    backend it falls back to the uniform sharded render with a warning —
+    the kernel-path semantics are pinned in test_adaptive_sharded.py)."""
     from zig_weekend_raytracer_tpu.cli import main
 
+    out = tmp_path / "adaptive_shard.ppm"
     rc = main([
-        "--image_width=8", "--image_height=8", "--adaptive=1",
-        "--shard=rows", "--image_out_path=/tmp/never.ppm",
+        "--image_width=8", "--image_height=8", "--samples_per_pixel=4",
+        "--ray_bounce_max_depth=2", "--adaptive=1",
+        "--shard=rows", f"--image_out_path={out}",
     ])
-    assert rc == 1
+    assert rc == 0
+    assert out.read_bytes().startswith(b"P3")
 
 
 def test_adaptive_composes_with_russian_roulette(pallas_interpret):

@@ -52,8 +52,10 @@ class UserArgs:
     # Variance-guided adaptive sampling: 1 enables with an auto-sized
     # pilot, N >= 2 pins the pilot spp.  Same TOTAL budget as a uniform
     # --samples_per_pixel render, re-allocated per pixel by measured
-    # noise (render/adaptive.py).  Sobol/independent samplers only;
-    # incompatible with --shard.
+    # noise (render/adaptive.py).  Sobol/independent samplers only.
+    # Combines with --shard (parallel/render.py:render_adaptive_sharded):
+    # 'samples' psums the noise map (single-device-identical allocation),
+    # 'rows' allocates per device region.
     adaptive: int = 0
     # Progressive rendering with atomic checkpoint/resume
     # (render/progressive.py): renders in sample batches, checkpointing
@@ -157,19 +159,6 @@ def main(argv=None) -> int:
         )
     timer.log_info_elapsed("scene initialized")
 
-    if args.adaptive and args.shard != "none":
-        # Why not combinable: the adaptive allocation is a GLOBAL function
-        # of the pilot noise map (largest-remainder apportionment over all
-        # pixels, render/adaptive_device.py) — a sharded version needs the
-        # psum'd noise map on every device plus per-device plan slices
-        # whose lane counts are only known at run time, i.e. a second
-        # collective + dynamic re-balance between the pilot and extra
-        # passes.  Doable, but the plan pipeline is ~ms and adaptive
-        # renders are short; shard the uniform render instead and keep
-        # adaptive single-device until a real multi-chip workload needs it.
-        print("error: --adaptive is single-device (drop --shard)",
-              file=sys.stderr)
-        return 1
     if args.checkpoint and (args.adaptive or args.shard != "none"):
         print("error: --checkpoint is a plain single-device render "
               "(drop --adaptive/--shard)", file=sys.stderr)
@@ -181,6 +170,23 @@ def main(argv=None) -> int:
 
     def do_render():
         if args.shard != "none":
+            import numpy as np
+
+            if args.adaptive:
+                # Sharded adaptive (round 5): shard='samples' psums the
+                # pilot noise map so every device computes the single-
+                # device allocation and takes a slice of every adaptive
+                # lane; shard='rows' runs the whole pipeline locally on
+                # disjoint row regions (parallel/render.py).
+                from .parallel import render_adaptive_sharded
+
+                return np.asarray(render_adaptive_sharded(
+                    scene, args.image_width, args.image_height,
+                    args.samples_per_pixel, args.ray_bounce_max_depth,
+                    sampler=args.sampler, shard=args.shard, seed=args.seed,
+                    rr=args.russian_roulette, clamp=args.clamp_indirect,
+                    pilot_spp=args.adaptive if args.adaptive >= 2 else 0,
+                ))
             from .parallel import render_sharded
 
             fb = render_sharded(
@@ -189,8 +195,6 @@ def main(argv=None) -> int:
                 sampler=args.sampler, shard=args.shard, seed=args.seed,
                 rr=args.russian_roulette, clamp=args.clamp_indirect,
             )
-            import numpy as np
-
             return np.asarray(fb)
         renderer = Renderer(
             samples_per_pixel=args.samples_per_pixel,

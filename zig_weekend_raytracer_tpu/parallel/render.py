@@ -493,3 +493,302 @@ def render_sharded(
         return fn(compiled, cam, seed_arr)[:height]
 
     raise ValueError(f"unknown shard mode: {shard}")
+
+
+def render_adaptive_sharded(
+    scene: Scene,
+    width: int,
+    height: int,
+    samples_per_pixel: int,
+    max_depth: int = 20,
+    sampler: SamplerKind = SamplerKind.SOBOL,
+    mesh: Optional[Mesh] = None,
+    shard: str = "samples",
+    seed: int = 0,
+    max_rays_per_chunk: int = 1 << 21,
+    rr: int = 0,
+    clamp: float = 0.0,
+    pilot_spp: int = 0,
+    return_stats: bool = False,
+):
+    """Variance-guided adaptive sampling across a device mesh (lifts the
+    round-4 ``--adaptive``/``--shard`` incompatibility).
+
+    ``shard='samples'``: the pilot halves are rendered as disjoint sample
+    slices and ``psum``'d, so every device sees the SAME global noise map
+    and computes the SAME allocation as the single-device path
+    (render/adaptive.py) — bitwise-identical plan; each adaptive lane's
+    sample range is then ceil-split across devices and the extra pass is
+    ``psum``'d too.  Three collectives per band, estimator identical to
+    single-device adaptive up to f32 summation order.
+
+    ``shard='rows'``: devices own disjoint row regions and run the WHOLE
+    adaptive pipeline (pilot, allocation, extra pass) locally — zero
+    collectives.  Allocation locality is per-device-band instead of
+    per-band: the sample budget is conserved within each device's rows
+    (total image budget still exactly ``W*H*spp``), the same locality
+    class as the single-device path's per-band allocation.  With one
+    device and band-dividing heights the result is bitwise-identical to
+    ``Renderer.render_adaptive``.
+
+    Returns the (H, W, 3) f32 framebuffer (plus a stats dict with the
+    per-pixel sample map when ``return_stats``)."""
+    import logging
+
+    from ..render.adaptive import _plan_pipeline, pick_pilot
+    from ..render.adaptive_device import (
+        allocate_extra_dev,
+        build_adaptive_plan_dev,
+        plan_lane_budget,
+        reserve_base,
+        variance_weights_dev,
+    )
+
+    log = logging.getLogger(__name__)
+    if mesh is None:
+        from .mesh import make_mesh
+
+        mesh = make_mesh()
+    if shard not in ("samples", "rows"):
+        raise ValueError(f"unknown shard mode: {shard}")
+    if sampler == SamplerKind.STRATIFIED:
+        raise ValueError(
+            "adaptive sampling needs per-pixel sample counts; the "
+            "stratified sampler's grid is fixed by spp — use sobol or "
+            "independent"
+        )
+    spp = samples_per_pixel
+
+    def _uniform(pixels_spp):
+        fb = render_sharded(
+            scene, width, height, spp, max_depth=max_depth, sampler=sampler,
+            mesh=mesh, shard=shard, seed=seed,
+            max_rays_per_chunk=max_rays_per_chunk, rr=rr, clamp=clamp,
+        )
+        if return_stats:
+            return fb, {
+                "n_samples": np.full((height, width), pixels_spp, np.int64)
+            }
+        return fb
+
+    if not _use_production_path(scene):
+        log.warning(
+            "adaptive sampling needs the Pallas regen backend; rendering "
+            "uniformly at %d spp", spp,
+        )
+        return _uniform(spp)
+
+    pilot = pilot_spp or pick_pilot(spp)
+    pilot = max(2, min(pilot, spp))
+    pilot += pilot & 1
+    if pilot >= spp:
+        return _uniform(spp)
+
+    cap = min(64 * (spp - pilot), (2**32) // (width * height) - pilot - 1)
+    if cap < 1:
+        raise ValueError(
+            f"ray id space {width}x{height}x{spp} leaves no adaptive "
+            "headroom; reduce spp or the image size"
+        )
+    lane_cap = max(8, 2 * (spp - pilot))
+    base = reserve_base(spp, pilot)
+    half = pilot // 2
+
+    n_dev = mesh.devices.size
+    base_compiled = scene.compiled  # stable memo key (with_rows copies)
+    compiled = base_compiled
+    # Narrow tiles for the whole adaptive pipeline — same measured choice
+    # as the single-device path (short per-lane sample windows are
+    # divergence/latency-dominated; see render/adaptive.py).
+    if not os.environ.get("ZWRT_ROWS"):
+        compiled = compiled.with_rows(8)
+    sort_lanes = not (compiled.has_sph_tree or compiled.has_quad_tree)
+    has_dof = scene.camera.has_depth_of_field
+    cam_c = camera_consts(scene.camera, width, height)
+    seed_arr = jnp.uint32(seed)
+
+    cfg_key = (
+        "adaptive", shard, width, height, spp, max_depth, sampler, has_dof,
+        rr, clamp, max_rays_per_chunk, pilot, cam_c,
+        tuple(int(d.id) for d in mesh.devices.flat), tuple(mesh.axis_names),
+    )
+
+    if shard == "samples":
+        # Full-height bands (single-device geometry); pilot + extra passes
+        # each sample-sliced per device and psum'd.
+        band_rows = max(1, min(height, max_rays_per_chunk // width))
+        n_bands = _cdiv(height, band_rows)
+        h_pad = n_bands * band_rows
+        tile = pick_tile(width, band_rows)
+        order = np.argsort(
+            tile_order_lane_index(width, band_rows, tile).reshape(-1),
+            kind="stable",
+        ).astype(np.int32)
+        m_lanes = plan_lane_budget(band_rows * width, compiled.rows * 128)
+        qa = _cdiv(half, n_dev)  # pilot-half sample slice per device
+
+        def worker(compiled, seed, order):
+            di = jax.lax.axis_index(AXIS)
+            fb = jnp.zeros((h_pad, width, 3), real)
+            cnt = jnp.zeros((h_pad, width), jnp.int32)
+            kw = dict(
+                width=width, height=height, band_rows=band_rows, s_par=1,
+                spp=spp, max_depth=max_depth, sampler=sampler,
+                has_dof=has_dof, cam_consts=cam_c, rr=rr, clamp=clamp,
+            )
+            for b in range(n_bands):
+                y0 = jnp.int32(b * band_rows)
+                rows_eff = min(band_rows, height - b * band_rows)
+                a0 = jnp.minimum(jnp.int32(half), di * qa)
+                a1 = jnp.minimum(jnp.int32(half), (di + 1) * qa)
+                sum_a = jax.lax.psum(
+                    _render_band_regen(
+                        compiled, seed, y0, a0.astype(jnp.int32),
+                        sample_limit=a1.astype(jnp.int32), **kw,
+                    ),
+                    AXIS,
+                )
+                b0 = jnp.int32(half) + jnp.minimum(jnp.int32(half), di * qa)
+                b1 = jnp.int32(half) + jnp.minimum(
+                    jnp.int32(half), (di + 1) * qa
+                )
+                sum_b = jax.lax.psum(
+                    _render_band_regen(
+                        compiled, seed, y0, b0.astype(jnp.int32),
+                        sample_limit=b1.astype(jnp.int32), **kw,
+                    ),
+                    AXIS,
+                )
+                # every device computes the SAME plan from the psum'd map
+                n_extra, px, py, s0, s1 = _plan_pipeline(
+                    sum_a, sum_b, order,
+                    half=half, base=base,
+                    extra_total=(spp - pilot - base) * rows_eff * width,
+                    cap=cap, band_y0=b * band_rows, pilot=pilot,
+                    lane_cap=lane_cap, sort_lanes=sort_lanes,
+                    m_lanes=m_lanes, width=width, rows_eff=rows_eff,
+                )
+                # ceil-split each lane's sample range across devices
+                length = s1 - s0
+                q = (length + jnp.int32(n_dev - 1)) // jnp.int32(n_dev)
+                d0 = s0 + jnp.minimum(di * q, length)
+                d1 = s0 + jnp.minimum((di + 1) * q, length)
+                extra = jax.lax.psum(
+                    _render_band_balanced(
+                        compiled, seed, y0, px, py, d0, d1,
+                        width=width, height=height, band_rows=band_rows,
+                        spp=spp, max_depth=max_depth, sampler=sampler,
+                        has_dof=has_dof, cam_consts=cam_c, rr=rr,
+                        clamp=clamp,
+                    ),
+                    AXIS,
+                )
+                n_full = jnp.zeros((band_rows, width), jnp.int32).at[
+                    :rows_eff
+                ].set(n_extra)
+                n_pix = jnp.int32(pilot) + n_full
+                band_fb = (
+                    (sum_a + sum_b + extra)
+                    / n_pix[..., None].astype(real)
+                )
+                fb = fb.at[b * band_rows : (b + 1) * band_rows].set(band_fb)
+                cnt = cnt.at[b * band_rows : (b + 1) * band_rows].set(n_pix)
+            return fb[:height], cnt[:height]
+
+        fn = _memo_sharded(base_compiled, cfg_key, lambda: jax.jit(
+            jax.shard_map(
+                worker, mesh=mesh, in_specs=(P(), P(), P()),
+                out_specs=(P(), P()), check_vma=False,
+            )
+        ))
+        fb, cnt = fn(compiled, seed_arr, jnp.asarray(order))
+        if return_stats:
+            return fb, {
+                "n_samples": np.asarray(cnt).astype(np.int64),
+                "pilot": pilot,
+            }
+        return fb
+
+    # shard == "rows": disjoint row regions, fully local pipeline
+    rows_local = _cdiv(height, n_dev)
+    band_rows = max(1, min(rows_local, max_rays_per_chunk // width))
+    n_bands = _cdiv(rows_local, band_rows)
+    rows_pad = n_bands * band_rows
+    tile = pick_tile(width, band_rows)
+    order = np.argsort(
+        tile_order_lane_index(width, band_rows, tile).reshape(-1),
+        kind="stable",
+    ).astype(np.int32)
+    m_lanes = plan_lane_budget(band_rows * width, compiled.rows * 128)
+
+    def worker(compiled, seed, order):
+        di = jax.lax.axis_index(AXIS)
+        y0_base = (di * rows_local).astype(jnp.int32)
+        fb = jnp.zeros((rows_pad, width, 3), real)
+        cnt = jnp.zeros((rows_pad, width), jnp.int32)
+        kw = dict(
+            width=width, height=height, band_rows=band_rows, s_par=1,
+            spp=spp, max_depth=max_depth, sampler=sampler,
+            has_dof=has_dof, cam_consts=cam_c, rr=rr, clamp=clamp,
+        )
+        inv = jnp.float32(1.0 / half)
+        for b in range(n_bands):
+            y0 = y0_base + jnp.int32(b * band_rows)
+            sum_a = _render_band_regen(
+                compiled, seed, y0, jnp.int32(0),
+                sample_limit=jnp.int32(half), **kw,
+            )
+            sum_b = _render_band_regen(
+                compiled, seed, y0, jnp.int32(half),
+                sample_limit=jnp.int32(pilot), **kw,
+            )
+            # rows past the image bottom (device/band padding) render
+            # clamped duplicates — zero them out of the noise map and give
+            # them cap 0 so allocation can't reach them
+            valid = (
+                y0 + jnp.arange(band_rows, dtype=jnp.int32)
+            ) < jnp.int32(height)
+            va = valid[:, None, None]
+            weight = variance_weights_dev(
+                jnp.where(va, sum_a, 0.0) * inv,
+                jnp.where(va, sum_b, 0.0) * inv,
+            )
+            weight = jnp.where(valid[:, None], weight, 0.0)
+            n_valid = valid.sum().astype(jnp.int32) * jnp.int32(width)
+            extra_total = jnp.int32(spp - pilot - base) * n_valid
+            capv = jnp.broadcast_to(
+                jnp.where(valid, jnp.int32(cap - base), 0)[:, None],
+                (band_rows, width),
+            )
+            alloc = allocate_extra_dev(weight, extra_total, capv)
+            n_extra = jnp.where(valid[:, None], jnp.int32(base) + alloc, 0)
+            px, py, s0, s1 = build_adaptive_plan_dev(
+                n_extra, order, band_y0=y0, pilot=pilot, lane_cap=lane_cap,
+                sort_lanes=sort_lanes, m_lanes=m_lanes, width=width,
+            )
+            extra = _render_band_balanced(
+                compiled, seed, y0, px, py, s0, s1,
+                width=width, height=height, band_rows=band_rows, spp=spp,
+                max_depth=max_depth, sampler=sampler, has_dof=has_dof,
+                cam_consts=cam_c, rr=rr, clamp=clamp,
+            )
+            n_pix = jnp.int32(pilot) + n_extra
+            band_fb = (sum_a + sum_b + extra) / n_pix[..., None].astype(real)
+            fb = fb.at[b * band_rows : (b + 1) * band_rows].set(band_fb)
+            cnt = cnt.at[b * band_rows : (b + 1) * band_rows].set(n_pix)
+        return fb[:rows_local], cnt[:rows_local]
+
+    fn = _memo_sharded(base_compiled, cfg_key, lambda: jax.jit(
+        jax.shard_map(
+            worker, mesh=mesh, in_specs=(P(), P(), P()),
+            out_specs=(P(AXIS), P(AXIS)), check_vma=False,
+        )
+    ))
+    fb, cnt = fn(compiled, seed_arr, jnp.asarray(order))
+    fb, cnt = fb[:height], cnt[:height]
+    if return_stats:
+        return fb, {
+            "n_samples": np.asarray(cnt).astype(np.int64),
+            "pilot": pilot,
+        }
+    return fb

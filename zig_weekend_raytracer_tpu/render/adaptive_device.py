@@ -66,14 +66,20 @@ def allocate_extra_dev(weight, extra_total, cap):
     """jnp twin of adaptive.allocate_extra: apportion ``extra_total``
     samples proportionally to ``weight`` (any shape), per-pixel cap,
     exact conservation via floor + largest-remainder singles, 4 cap-
-    redistribution passes.  Returns int32 of weight's shape."""
+    redistribution passes.  Returns int32 of weight's shape.
+
+    ``cap`` may be a scalar or a per-pixel array of weight's (flattened)
+    shape — the sharded path (parallel/render.py:render_adaptive_sharded)
+    uses cap=0 to exclude a device's padded rows from allocation (their
+    room is always 0, so neither the floor shares nor the largest-
+    remainder singles can reach them)."""
     shape = weight.shape
     w = weight.reshape(-1).astype(jnp.float32)
     w = w + jnp.maximum(w.mean(), jnp.float32(1e-30)) * jnp.float32(
         _WEIGHT_FLOOR
     )
     size = w.shape[0]
-    cap = jnp.int32(cap)
+    cap = jnp.asarray(cap, jnp.int32).reshape(-1)
 
     def body(_, carry):
         n, remaining = carry
@@ -119,14 +125,14 @@ def plan_lane_budget(pixels: int, blk: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "band_y0", "pilot", "lane_cap", "sort_lanes", "m_lanes", "width",
+        "pilot", "lane_cap", "sort_lanes", "m_lanes", "width",
     ),
 )
 def build_adaptive_plan_dev(
     n_extra,            # (rows, W) int32 extra samples per pixel (device)
     order,              # (rows*W,) int32 tile-order pixel permutation
     *,
-    band_y0: int,
+    band_y0,            # int or traced i32 (sharded: axis_index-derived)
     pilot: int,
     lane_cap: int,
     sort_lanes: bool,
@@ -136,10 +142,13 @@ def build_adaptive_plan_dev(
     """Device twin of adaptive.build_adaptive_plan: same decomposition,
     static (m_lanes,) output shapes.  ``order`` is the tile-order pixel
     permutation (host-precomputed per shape; pure indices, content-free).
+    ``band_y0`` may be a traced scalar: the sharded path derives it from
+    ``axis_index`` inside shard_map (it only ever offsets ``py``).
     Returns (px, py, s0, s1) int32 device arrays; dead lanes s1==s0==0."""
     rows = n_extra.shape[0]
+    band_y0 = jnp.asarray(band_y0, jnp.int32)
     n = n_extra.reshape(-1).astype(jnp.int32)[order]
-    ys = (order // width).astype(jnp.int32) + jnp.int32(band_y0)
+    ys = (order // width).astype(jnp.int32) + band_y0
     xs = (order % width).astype(jnp.int32)
 
     k = -(-n // jnp.int32(lane_cap))  # ceil; 0 lanes for n == 0
@@ -159,7 +168,7 @@ def build_adaptive_plan_dev(
     s1 = jnp.int32(pilot) + ((j + 1) * nn) // kk
 
     px = jnp.where(live, xs[pixc], 0)
-    py = jnp.where(live, ys[pixc], jnp.int32(band_y0))
+    py = jnp.where(live, ys[pixc], band_y0)
     s0 = jnp.where(live, s0, 0)
     s1 = jnp.where(live, s1, 0)
 
