@@ -234,3 +234,31 @@ def test_lut_scene_sharded_matches_single(pallas_interpret):
         scene, 16, 16, 4, mesh=mesh, shard="samples", max_depth=4, seed=0,
     ))
     np.testing.assert_allclose(fb, single, rtol=3e-5, atol=3e-6)
+
+
+def test_lut_scene_adaptive_composes(pallas_interpret):
+    """Adaptive sampling on a LUT scene (round-5 composition): image
+    scenes under --texture_lut run the fused megakernel, so the adaptive
+    balanced-plan pass works too — single-device and sharded, exact
+    budget conservation, mean in family with the uniform LUT render."""
+    from zig_weekend_raytracer_tpu.parallel import (
+        make_mesh, render_adaptive_sharded,
+    )
+    from zig_weekend_raytracer_tpu.render.renderer import Renderer
+
+    scene = _compile_lut(_image_scene(), 10_000)
+    r = Renderer(samples_per_pixel=16, max_ray_bounce_depth=4, seed=0)
+    uniform = np.asarray(r.render(scene, 12, 12))
+    fb, st = r.render_adaptive(scene, 12, 12, pilot_spp=4,
+                               return_stats=True)
+    fb = np.asarray(fb)
+    assert st["n_samples"].sum() == 16 * 12 * 12
+    assert np.isfinite(fb).all()
+    assert abs(fb.mean() - uniform.mean()) < 0.1 * uniform.mean()
+
+    fbs, sts = render_adaptive_sharded(
+        scene, 12, 12, 16, max_depth=4, mesh=make_mesh(2), shard="samples",
+        seed=0, pilot_spp=4, return_stats=True,
+    )
+    np.testing.assert_array_equal(sts["n_samples"], st["n_samples"])
+    np.testing.assert_allclose(np.asarray(fbs), fb, rtol=1e-4, atol=1e-5)
