@@ -29,11 +29,11 @@ def main() -> None:
         a[2:].split("=", 1) if "=" in a else (a[2:], "1")
         for a in sys.argv[1:] if a.startswith("--")
     )
-    unknown = set(opts) - {"rr", "clamp", "adaptive", "denoise"}
+    unknown = set(opts) - {"rr", "clamp", "adaptive", "denoise", "shard"}
     if unknown:
         raise SystemExit(
             f"unknown flags {sorted(unknown)} "
-            "(valid: --rr --clamp --adaptive --denoise)"
+            "(valid: --rr --clamp --adaptive --denoise --shard)"
         )
     scene_name = args[0] if len(args) > 0 else "cornell_box"
     width = int(args[1]) if len(args) > 1 else 400
@@ -45,22 +45,46 @@ def main() -> None:
     clamp = float(opts.get("clamp", 0.0))
     adaptive = int(opts.get("adaptive", 0))
     denoise_iters = int(opts.get("denoise", 0))
+    shard = opts.get("shard", "")  # samples | rows (device-count = all)
 
     scene = zwrt.models.load_scene(scene_name)
     renderer = zwrt.render.Renderer(
         samples_per_pixel=spp, max_ray_bounce_depth=depth,
         russian_roulette=rr, clamp_indirect=clamp,
     )
+    mesh = None
+    if shard:
+        from zig_weekend_raytracer_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
 
     def run():
-        if adaptive:
+        if adaptive and shard:
+            from zig_weekend_raytracer_tpu.parallel import (
+                render_adaptive_sharded,
+            )
+
+            out = render_adaptive_sharded(
+                scene, width, height, spp, max_depth=depth, mesh=mesh,
+                shard=shard, rr=rr, clamp=clamp,
+                pilot_spp=adaptive if adaptive >= 2 else 0,
+            )
+        elif adaptive:
             out = renderer.render_adaptive(
                 scene, width, height,
                 pilot_spp=adaptive if adaptive >= 2 else 0,
             )
+        elif shard:
+            from zig_weekend_raytracer_tpu.parallel import render_sharded
+
+            out = render_sharded(
+                scene, width, height, spp, max_depth=depth, mesh=mesh,
+                shard=shard, rr=rr, clamp=clamp,
+            )
         else:
             out = renderer.render_device(scene, width, height)
-        float(np.asarray(out).sum()) if adaptive else float(out.sum())
+        host_read = adaptive or shard
+        float(np.asarray(out).sum()) if host_read else float(out.sum())
         return out
 
     t0 = time.time()
@@ -78,7 +102,8 @@ def main() -> None:
     mpaths = width * height * spp / best / 1e6
     tag = "".join(
         [f" rr={rr}" if rr else "", f" clamp={clamp}" if clamp else "",
-         " adaptive" if adaptive else ""]
+         " adaptive" if adaptive else "",
+         f" shard={shard}" if shard else ""]
     )
     print(
         f"{scene_name} {width}x{height}@{spp}spp d{depth}{tag}: "
