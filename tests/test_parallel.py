@@ -216,3 +216,22 @@ def test_sharded_megakernel_wide_rows(pallas_interpret):
         seed=0,
     )
     np.testing.assert_allclose(np.asarray(fb), single, rtol=1e-4, atol=1e-6)
+
+
+def test_sample_sharding_chunked_no_double_count(scene):
+    """Round-5 regression: when spp_chunk does not divide the per-device
+    sample slice, the chunk grid overshoots into the next device's slice —
+    the worker must cap each device at its own range (a dynamic
+    sample_limit), not just at the global spp.  With max_rays_per_chunk
+    forcing spp_chunk=3 against spp_local=5, the overshot sample was
+    double-counted before the fix (mean inflated ~2%)."""
+    single = np.asarray(
+        Renderer(
+            samples_per_pixel=10, max_ray_bounce_depth=3, seed=0
+        ).render(scene, 8, 8)
+    )
+    fb = np.asarray(render_sharded(
+        scene, 8, 8, 10, max_depth=3, mesh=make_mesh(2), shard="samples",
+        seed=0, max_rays_per_chunk=192,
+    ))
+    np.testing.assert_allclose(fb, single, rtol=1e-5, atol=1e-6)

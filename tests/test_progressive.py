@@ -126,3 +126,106 @@ def test_cli_checkpoint_rejects_adaptive(tmp_path):
         "--checkpoint=/tmp/never.npz", "--image_out_path=/tmp/never.ppm",
     ])
     assert rc == 1
+
+
+def test_progressive_sharded_equals_oneshot(scene, tmp_path):
+    """Round 5: --checkpoint composes with --shard.  Sharded progressive
+    batches (render_batch_sharded) complete to the single-device one-shot
+    image (tolerance: psum/f32 reassociation), in both shard modes."""
+    from zig_weekend_raytracer_tpu.parallel import make_mesh
+
+    base = Renderer(samples_per_pixel=8, max_ray_bounce_depth=3, seed=2)
+    oneshot = base.render(scene, 12, 12)
+    for shard in ("samples", "rows"):
+        ck = str(tmp_path / f"ck_{shard}.npz")
+        prog = ProgressiveRenderer(
+            renderer=base, checkpoint_path=ck, shard=shard,
+            mesh=make_mesh(4),
+        )
+        fb = prog.render(scene, 12, 12, batch_spp=3)
+        np.testing.assert_allclose(fb, oneshot, rtol=1e-4, atol=1e-6)
+
+
+def test_progressive_sharded_bitwise_resume(scene, tmp_path):
+    """A crash-resumed sharded render equals the uninterrupted sharded
+    render bit-for-bit (same mesh + mode = same summation order)."""
+    from zig_weekend_raytracer_tpu.parallel import make_mesh
+
+    base = Renderer(samples_per_pixel=8, max_ray_bounce_depth=3, seed=2)
+    mesh = make_mesh(4)
+    ck_full = str(tmp_path / "full.npz")
+    uninterrupted = ProgressiveRenderer(
+        renderer=base, checkpoint_path=ck_full, shard="samples", mesh=mesh,
+    ).render(scene, 12, 12, batch_spp=3)
+
+    class Stop(Exception):
+        pass
+
+    def bail(done, _img):
+        if done >= 3:
+            raise Stop
+
+    ck = str(tmp_path / "crash.npz")
+    with pytest.raises(Stop):
+        ProgressiveRenderer(
+            renderer=base, checkpoint_path=ck, shard="samples", mesh=mesh,
+        ).render(scene, 12, 12, batch_spp=3, on_batch=bail)
+    assert int(np.load(ck)["samples_done"]) == 3
+    fb = ProgressiveRenderer(
+        renderer=base, checkpoint_path=ck, shard="samples", mesh=mesh,
+    ).render(scene, 12, 12, batch_spp=3)
+    np.testing.assert_array_equal(fb, uninterrupted)
+
+
+def test_progressive_shard_fingerprint_pins_decomposition(scene, tmp_path):
+    """Resuming under a different mesh size restarts (the estimator is
+    decomposition-independent, the bits are not)."""
+    from zig_weekend_raytracer_tpu.parallel import make_mesh
+
+    base = Renderer(samples_per_pixel=8, max_ray_bounce_depth=3, seed=2)
+    ck = str(tmp_path / "ck.npz")
+    ProgressiveRenderer(
+        renderer=base, checkpoint_path=ck, shard="samples",
+        mesh=make_mesh(2),
+    ).render(scene, 8, 8, batch_spp=8)
+    fb = ProgressiveRenderer(
+        renderer=base, checkpoint_path=ck, shard="samples",
+        mesh=make_mesh(4),
+    ).render(scene, 8, 8, batch_spp=8)  # mismatch -> fresh, still correct
+    oneshot = base.render(scene, 8, 8)
+    np.testing.assert_allclose(fb, oneshot, rtol=1e-4, atol=1e-6)
+
+
+def test_progressive_sharded_kernel_path(pallas_interpret, scene, tmp_path):
+    """The production megakernel inside sharded progressive batches."""
+    from zig_weekend_raytracer_tpu.parallel import make_mesh
+
+    base = Renderer(samples_per_pixel=8, max_ray_bounce_depth=3, seed=2)
+    oneshot = base.render(scene, 12, 12)
+    ck = str(tmp_path / "ck.npz")
+    fb = ProgressiveRenderer(
+        renderer=base, checkpoint_path=ck, shard="rows", mesh=make_mesh(4),
+    ).render(scene, 12, 12, batch_spp=3)
+    np.testing.assert_allclose(fb, oneshot, rtol=1e-4, atol=1e-6)
+
+
+def test_cli_checkpoint_with_shard(tmp_path):
+    from PIL import Image
+
+    from zig_weekend_raytracer_tpu.cli import main
+
+    common = [
+        "--image_width=12", "--image_height=12", "--samples_per_pixel=8",
+        "--ray_bounce_max_depth=3", "--scene=cornell_box",
+    ]
+    plain = str(tmp_path / "plain.ppm")
+    prog = str(tmp_path / "prog.ppm")
+    ck = str(tmp_path / "ck.npz")
+    assert main(common + [f"--image_out_path={plain}"]) == 0
+    assert main(common + [
+        f"--image_out_path={prog}", f"--checkpoint={ck}",
+        "--checkpoint_batch_spp=4", "--shard=samples",
+    ]) == 0
+    a = np.asarray(Image.open(plain), np.int16)
+    b = np.asarray(Image.open(prog), np.int16)
+    assert np.abs(a - b).max() <= 1

@@ -60,7 +60,10 @@ class UserArgs:
     # Progressive rendering with atomic checkpoint/resume
     # (render/progressive.py): renders in sample batches, checkpointing
     # to this npz path after each; an interrupted render resumes from it
-    # bitwise-identically.  Single-device; not combinable with --adaptive.
+    # bitwise-identically.  Combines with --shard (batches render across
+    # the mesh; the checkpoint pins the decomposition for bitwise
+    # resume).  Not combinable with --adaptive (the plan depends on the
+    # pilot noise map, which the checkpoint cannot reproduce).
     checkpoint: str = ""
     # Samples per progressive batch (with --checkpoint).
     checkpoint_batch_spp: int = 16
@@ -159,9 +162,12 @@ def main(argv=None) -> int:
         )
     timer.log_info_elapsed("scene initialized")
 
-    if args.checkpoint and (args.adaptive or args.shard != "none"):
-        print("error: --checkpoint is a plain single-device render "
-              "(drop --adaptive/--shard)", file=sys.stderr)
+    if args.checkpoint and args.adaptive:
+        # Adaptive's allocation depends on the pilot noise map, so a
+        # resumed render could not reproduce the interrupted one's plan
+        # from the checkpoint alone — the combination stays rejected.
+        print("error: --checkpoint is a uniform render "
+              "(drop --adaptive)", file=sys.stderr)
         return 1
     if args.checkpoint and args.checkpoint_batch_spp < 1:
         print("error: --checkpoint_batch_spp must be >= 1",
@@ -172,6 +178,26 @@ def main(argv=None) -> int:
         if args.shard != "none":
             import numpy as np
 
+            if args.checkpoint:
+                # Progressive checkpoint/resume with sharded batches
+                # (render/progressive.py + render_batch_sharded).
+                from .render.progressive import ProgressiveRenderer
+
+                renderer = Renderer(
+                    samples_per_pixel=args.samples_per_pixel,
+                    max_ray_bounce_depth=args.ray_bounce_max_depth,
+                    sampler=args.sampler,
+                    seed=args.seed,
+                    russian_roulette=args.russian_roulette,
+                    clamp_indirect=args.clamp_indirect,
+                )
+                return ProgressiveRenderer(
+                    renderer, checkpoint_path=args.checkpoint,
+                    shard=args.shard,
+                ).render(
+                    scene, args.image_width, args.image_height,
+                    batch_spp=args.checkpoint_batch_spp,
+                )
             if args.adaptive:
                 # Sharded adaptive (round 5): shard='samples' psums the
                 # pilot noise map so every device computes the single-

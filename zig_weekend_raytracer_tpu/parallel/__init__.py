@@ -15,4 +15,8 @@ thread pool with a lock-free shared framebuffer (src/render.zig:55-73,
 """
 
 from .mesh import make_mesh
-from .render import render_adaptive_sharded, render_sharded
+from .render import (
+    render_adaptive_sharded,
+    render_batch_sharded,
+    render_sharded,
+)

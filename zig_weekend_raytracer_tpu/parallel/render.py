@@ -323,6 +323,12 @@ def render_sharded(
         def worker(compiled, cam, seed):
             di = jax.lax.axis_index(AXIS)
             s0_base = (di * spp_local).astype(jnp.int32)
+            # Per-device sample cap (round-5 fix): when spp_chunk does not
+            # divide spp_local, the chunk grid overshoots into the next
+            # device's slice — without this dynamic limit those samples
+            # were double-counted (the global `sidx < spp` mask only
+            # guards the final device's padding).
+            limit = jnp.minimum(jnp.int32(spp), s0_base + jnp.int32(spp_local))
             fb = jnp.zeros((h_pad, width, 3), real)
             for b in range(n_bands):
                 for c in range(n_chunks):
@@ -332,7 +338,8 @@ def render_sharded(
                         s0_base + jnp.int32(c * spp_chunk),
                         width=width, height=height, band_rows=band_rows,
                         spp_chunk=spp_chunk, spp=spp, max_depth=max_depth,
-                        sampler=sampler, has_dof=has_dof, rr=rr, clamp=clamp,
+                        sampler=sampler, has_dof=has_dof,
+                        sample_limit=limit, rr=rr, clamp=clamp,
                     )
                     fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
             return jax.lax.psum(fb[:height], AXIS) / real(spp)
@@ -493,6 +500,197 @@ def render_sharded(
         return fn(compiled, cam, seed_arr)[:height]
 
     raise ValueError(f"unknown shard mode: {shard}")
+
+
+def render_batch_sharded(
+    scene: Scene,
+    width: int,
+    height: int,
+    total_spp: int,
+    sample0: int,
+    spp_now: int,
+    max_depth: int = 20,
+    sampler: SamplerKind = SamplerKind.SOBOL,
+    mesh: Optional[Mesh] = None,
+    shard: str = "samples",
+    seed: int = 0,
+    max_rays_per_chunk: int = 1 << 21,
+    rr: int = 0,
+    clamp: float = 0.0,
+):
+    """Radiance SUM over samples [sample0, sample0+spp_now) across a
+    device mesh — the sharded twin of render/progressive.py:_render_batch,
+    so progressive checkpoint/resume composes with ``--shard``.
+
+    ``total_spp`` is the render's TOTAL sample count (samplers see the
+    same sequence geometry an uninterrupted render would; the batch's end
+    index bounds validity).  shard='samples' slices the batch's sample
+    range per device and psums; shard='rows' gives each device its row
+    region over the full batch range (zero collectives).  Because the RNG
+    is content-addressed by global ray id, the result is independent of
+    the device decomposition up to f32 summation order."""
+    if mesh is None:
+        from .mesh import make_mesh
+
+        mesh = make_mesh()
+    if shard not in ("samples", "rows"):
+        raise ValueError(f"unknown shard mode: {shard}")
+    n_dev = mesh.devices.size
+    compiled = scene.compiled
+    has_dof = scene.camera.has_depth_of_field
+    seed_arr = jnp.uint32(seed)
+    s_end = min(sample0 + spp_now, total_spp)
+
+    chunker = Renderer(
+        samples_per_pixel=total_spp, max_rays_per_chunk=max_rays_per_chunk,
+        max_ray_bounce_depth=max_depth, sampler=sampler,
+    )
+    production = _use_production_path(scene)
+    cam_c = camera_consts(scene.camera, width, height)
+    cfg_key = (
+        "batch", shard, production, width, height, total_spp, sample0,
+        spp_now, max_depth, sampler, has_dof, rr, clamp, max_rays_per_chunk,
+        cam_c,
+        tuple(int(d.id) for d in mesh.devices.flat), tuple(mesh.axis_names),
+    )
+
+    if shard == "samples":
+        q = _cdiv(spp_now, n_dev)  # per-device slice of the batch range
+
+        if production:
+            s_par, band_rows = chunker.regen_geometry(width, height, q)
+            n_bands = _cdiv(height, band_rows)
+            h_pad = n_bands * band_rows
+
+            def worker(compiled, seed):
+                di = jax.lax.axis_index(AXIS)
+                s0 = jnp.int32(sample0) + di * jnp.int32(q)
+                limit = jnp.minimum(jnp.int32(s_end), s0 + jnp.int32(q))
+                fb = jnp.zeros((h_pad, width, 3), real)
+                for b in range(n_bands):
+                    out = _render_band_regen(
+                        compiled, seed, jnp.int32(b * band_rows), s0,
+                        width=width, height=height, band_rows=band_rows,
+                        s_par=s_par, spp=total_spp, sample_limit=limit,
+                        max_depth=max_depth, sampler=sampler,
+                        has_dof=has_dof, cam_consts=cam_c, rr=rr,
+                        clamp=clamp,
+                    )
+                    fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
+                return jax.lax.psum(fb[:height], AXIS)
+
+            fn = _memo_sharded(compiled, cfg_key, lambda: jax.jit(
+                jax.shard_map(
+                    worker, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+                    check_vma=False,
+                )
+            ))
+            return fn(compiled, seed_arr)
+
+        cam = camera_params(scene.camera, width, height)
+        spp_chunk, band_rows = chunker.chunk_geometry(scene, width, height, q)
+        n_bands = _cdiv(height, band_rows)
+        n_chunks = _cdiv(q, spp_chunk)
+        h_pad = n_bands * band_rows
+
+        def worker(compiled, cam, seed):
+            di = jax.lax.axis_index(AXIS)
+            s0_base = jnp.int32(sample0) + di * jnp.int32(q)
+            limit = jnp.minimum(
+                jnp.int32(s_end), s0_base + jnp.int32(q)
+            )
+            fb = jnp.zeros((h_pad, width, 3), real)
+            for b in range(n_bands):
+                for c in range(n_chunks):
+                    out = _render_band(
+                        compiled, cam, seed,
+                        jnp.int32(b * band_rows),
+                        s0_base + jnp.int32(c * spp_chunk),
+                        width=width, height=height, band_rows=band_rows,
+                        spp_chunk=spp_chunk, spp=total_spp,
+                        max_depth=max_depth, sampler=sampler,
+                        has_dof=has_dof, sample_limit=limit,
+                        rr=rr, clamp=clamp,
+                    )
+                    fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
+            return jax.lax.psum(fb[:height], AXIS)
+
+        fn = _memo_sharded(compiled, cfg_key, lambda: jax.jit(
+            jax.shard_map(
+                worker, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
+                check_vma=False,
+            )
+        ))
+        return fn(compiled, cam, seed_arr)
+
+    # shard == "rows"
+    rows_local = _cdiv(height, n_dev)
+
+    if production:
+        s_par, band_rows = chunker.regen_geometry(width, rows_local, spp_now)
+        band_rows = min(band_rows, rows_local)
+        n_bands = _cdiv(rows_local, band_rows)
+        rows_pad = n_bands * band_rows
+
+        def worker(compiled, seed):
+            di = jax.lax.axis_index(AXIS)
+            y0_base = (di * rows_local).astype(jnp.int32)
+            fb = jnp.zeros((rows_pad, width, 3), real)
+            for b in range(n_bands):
+                out = _render_band_regen(
+                    compiled, seed,
+                    y0_base + jnp.int32(b * band_rows), jnp.int32(sample0),
+                    width=width, height=height, band_rows=band_rows,
+                    s_par=s_par, spp=total_spp,
+                    sample_limit=jnp.int32(s_end),
+                    max_depth=max_depth, sampler=sampler, has_dof=has_dof,
+                    cam_consts=cam_c, rr=rr, clamp=clamp,
+                )
+                fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
+            return fb[:rows_local]
+
+        fn = _memo_sharded(compiled, cfg_key, lambda: jax.jit(
+            jax.shard_map(
+                worker, mesh=mesh, in_specs=(P(), P()), out_specs=P(AXIS),
+                check_vma=False,
+            )
+        ))
+        return fn(compiled, seed_arr)[:height]
+
+    cam = camera_params(scene.camera, width, height)
+    spp_chunk, band_rows = chunker.chunk_geometry(
+        scene, width, rows_local, spp_now
+    )
+    band_rows = min(band_rows, rows_local)
+    n_bands = _cdiv(rows_local, band_rows)
+    n_chunks = _cdiv(spp_now, spp_chunk)
+    rows_pad = n_bands * band_rows
+
+    def worker(compiled, cam, seed):
+        di = jax.lax.axis_index(AXIS)
+        y0_base = (di * rows_local).astype(jnp.int32)
+        fb = jnp.zeros((rows_pad, width, 3), real)
+        for b in range(n_bands):
+            for c in range(n_chunks):
+                out = _render_band(
+                    compiled, cam, seed,
+                    y0_base + jnp.int32(b * band_rows),
+                    jnp.int32(sample0 + c * spp_chunk),
+                    width=width, height=height, band_rows=band_rows,
+                    spp_chunk=spp_chunk, spp=total_spp,
+                    max_depth=max_depth, sampler=sampler, has_dof=has_dof,
+                    sample_limit=jnp.int32(s_end), rr=rr, clamp=clamp,
+                )
+                fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
+        return fb[:rows_local]
+
+    fn = _memo_sharded(compiled, cfg_key, lambda: jax.jit(
+        jax.shard_map(
+            worker, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(AXIS),
+            check_vma=False,
+        )
+    ))
+    return fn(compiled, cam, seed_arr)[:height]
 
 
 def render_adaptive_sharded(

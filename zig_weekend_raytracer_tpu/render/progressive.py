@@ -42,11 +42,19 @@ def _fingerprint(scene: Scene, width, height, renderer: Renderer) -> str:
 
 @dataclasses.dataclass
 class ProgressiveRenderer:
-    """Renders in sample batches, checkpointing after each batch."""
+    """Renders in sample batches, checkpointing after each batch.
+
+    ``shard`` (round 5) runs each batch across a device mesh
+    (parallel/render.py:render_batch_sharded, modes as in render_sharded);
+    the checkpoint fingerprint then pins the mesh size and mode, because
+    resuming under a different decomposition would change f32 summation
+    order (the estimator is decomposition-independent, the bits are not)."""
 
     renderer: Renderer
     checkpoint_path: str
     checkpoint_every: int = 1  # batches between checkpoint writes
+    shard: str = "none"  # none | samples | rows
+    mesh: object = None  # jax.sharding.Mesh (default: all devices)
 
     def render(
         self,
@@ -60,6 +68,13 @@ class ProgressiveRenderer:
         ``batch_spp``, resuming from the checkpoint if one matches."""
         total_spp = self.renderer.samples_per_pixel
         fp = _fingerprint(scene, width, height, self.renderer)
+        mesh = self.mesh
+        if self.shard != "none":
+            if mesh is None:
+                from ..parallel import make_mesh
+
+                mesh = make_mesh()
+            fp += f":shard-{self.shard}-{mesh.devices.size}"
 
         fb_sum = np.zeros((height, width, 3), np.float32)
         done = 0
@@ -86,9 +101,21 @@ class ProgressiveRenderer:
             sub = dataclasses.replace(
                 self.renderer, samples_per_pixel=total_spp
             )
-            fb_sum += np.asarray(
-                _render_batch(sub, scene, width, height, done, spp_now)
-            )
+            if self.shard != "none":
+                from ..parallel import render_batch_sharded
+
+                batch = render_batch_sharded(
+                    scene, width, height, total_spp, done, spp_now,
+                    max_depth=sub.max_ray_bounce_depth, sampler=sub.sampler,
+                    mesh=mesh, shard=self.shard, seed=sub.seed,
+                    max_rays_per_chunk=sub.max_rays_per_chunk,
+                    rr=sub.russian_roulette, clamp=sub.clamp_indirect,
+                )
+            else:
+                batch = _render_batch(
+                    sub, scene, width, height, done, spp_now
+                )
+            fb_sum += np.asarray(batch)
             done += spp_now
             batch_idx += 1
             if batch_idx % self.checkpoint_every == 0 or done >= total_spp:

@@ -110,7 +110,7 @@ def unflatten_radiance(rad, width, band_rows, spp_chunk, tile):
     jax.jit,
     static_argnames=(
         "width", "height", "band_rows", "spp_chunk", "spp",
-        "max_depth", "sampler", "has_dof", "sample_limit", "rr", "clamp",
+        "max_depth", "sampler", "has_dof", "rr", "clamp",
     ),
 )
 def _render_band(
@@ -139,7 +139,11 @@ def _render_band(
     their stratification geometry from it, so it must be identical across
     chunked/progressive decompositions.  ``sample_limit`` (default ``spp``)
     caps which sample indices contribute; progressive batches pass the end
-    of their batch here while keeping ``spp`` at the total."""
+    of their batch here while keeping ``spp`` at the total.  It is a
+    DYNAMIC argument (round-5 fix): sharded workers pass a per-device
+    limit derived from ``axis_index`` — without it, a device whose chunk
+    grid overshoots its sample slice double-counted the neighbour
+    device's first samples whenever spp_chunk did not divide the slice."""
     with named_zone("Renderer::render"):
         tile = pick_tile(width, band_rows)
         px, py, sidx, ray_id = ray_grid(
