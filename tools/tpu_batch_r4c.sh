@@ -35,10 +35,11 @@ step() {  # step <name> <timeout_s> <cmd...>
 if [ ! -f "$OUT/00_health.ok" ]; then
   timeout 900 python tools/scenebench.py cornell_box 400 400 128 10 4 \
     > "$OUT/00_health.log" 2>&1
-  best=$(grep -o 'best=[0-9.]*' "$OUT/00_health.log" | tail -1 | cut -d= -f2)
+  # scenebench prints 'best 0.107s' (space-separated) — ADVICE r4 fix
+  best=$(grep -o 'best [0-9.]*s' "$OUT/00_health.log" | tail -1 | grep -o '[0-9.]*')
   if [ -z "$best" ] || ! python -c "exit(0 if float('$best') < 0.15 else 1)"; then
     echo "== ABORT: tunnel degraded (cached cornell best=$best, need <0.15 s)" | tee -a "$SUMMARY"
-    exit 1
+    exit 75  # EX_TEMPFAIL: transient, rerun later (matches tpu_batch_r4b.sh)
   fi
   touch "$OUT/00_health.ok"
   echo "== 00_health: OK (best=$best)" | tee -a "$SUMMARY"
