@@ -229,3 +229,33 @@ def test_cli_checkpoint_with_shard(tmp_path):
     a = np.asarray(Image.open(plain), np.int16)
     b = np.asarray(Image.open(prog), np.int16)
     assert np.abs(a - b).max() <= 1
+
+
+def test_sharded_batches_share_one_compiled_fn(scene):
+    """Round-5 review fix: sample0 is a DYNAMIC input of the sharded
+    pipeline — every full batch of a progressive render must reuse one
+    compiled shard_map function (the first version baked sample0 into the
+    closure and recompiled per batch)."""
+    from zig_weekend_raytracer_tpu.parallel import (
+        make_mesh, render_batch_sharded,
+    )
+    from zig_weekend_raytracer_tpu.parallel import render as prender
+
+    mesh = make_mesh(2)
+    prender._sharded_fn_cache.pop(scene.compiled, None)
+    a = render_batch_sharded(scene, 8, 8, 12, 0, 4, max_depth=2,
+                             mesh=mesh, shard="samples", seed=5)
+    n_after_first = len(prender._sharded_fn_cache[scene.compiled])
+    b = render_batch_sharded(scene, 8, 8, 12, 4, 4, max_depth=2,
+                             mesh=mesh, shard="samples", seed=5)
+    c = render_batch_sharded(scene, 8, 8, 12, 8, 4, max_depth=2,
+                             mesh=mesh, shard="samples", seed=5)
+    assert len(prender._sharded_fn_cache[scene.compiled]) == n_after_first
+    # and the three batch sums average to the one-shot render
+    total = (np.asarray(a) + np.asarray(b) + np.asarray(c)) / 12
+    oneshot = np.asarray(
+        Renderer(
+            samples_per_pixel=12, max_ray_bounce_depth=2, seed=5
+        ).render(scene, 8, 8)
+    )
+    np.testing.assert_allclose(total, oneshot, rtol=1e-4, atol=1e-6)

@@ -46,6 +46,10 @@ def main() -> None:
     adaptive = int(opts.get("adaptive", 0))
     denoise_iters = int(opts.get("denoise", 0))
     shard = opts.get("shard", "")  # samples | rows (device-count = all)
+    if shard and shard not in ("samples", "rows"):
+        raise SystemExit(
+            f"--shard={shard!r}: expected 'samples' or 'rows'"
+        )
 
     scene = zwrt.models.load_scene(scene_name)
     renderer = zwrt.render.Renderer(

@@ -168,6 +168,9 @@ def render_sharded(
     rr: int = 0,
     clamp: float = 0.0,
     regen_min_wave: Optional[int] = None,
+    sample0: int = 0,
+    sample_count: Optional[int] = None,
+    normalize: bool = True,
 ):
     """Render across a device mesh.  Returns (H, W, 3) f32 averaged samples.
 
@@ -177,6 +180,17 @@ def render_sharded(
     ``shard='rows'``: chips render disjoint row bands (zero collectives; the
     direct analog of the reference's pixel-block partitioning,
     src/render.zig:60).
+
+    ``sample0``/``sample_count`` (round 5) restrict the render to the
+    sample-index range [sample0, sample0+sample_count) — the sharded twin
+    of render/progressive.py:_render_batch, so progressive checkpoints
+    compose with sharding (render_batch_sharded wraps this).  ``sample0``
+    is a DYNAMIC scalar input of the compiled pipeline: every progressive
+    batch reuses ONE compiled function per (geometry, sample_count)
+    instead of recompiling per batch.  ``normalize=False`` returns the
+    radiance SUM instead of the spp-average (what a checkpoint
+    accumulates).  ``samples_per_pixel`` stays the render TOTAL so
+    samplers keep their stratification geometry across batches.
     """
     if mesh is None:
         from .mesh import make_mesh
@@ -187,6 +201,14 @@ def render_sharded(
     has_dof = scene.camera.has_depth_of_field
     seed_arr = jnp.uint32(seed)
     spp = samples_per_pixel
+    spp_now = spp - sample0 if sample_count is None else sample_count
+    s_end = min(sample0 + spp_now, spp)
+    # dynamic range scalars: shard_map inputs, NOT baked into the closure
+    s_base_arr = jnp.int32(sample0)
+    s_cap_arr = jnp.int32(s_end)
+
+    def _norm(fb):
+        return fb / real(spp) if normalize else fb
 
     # Per-device chunk geometry (identical on every device; static).
     chunker = Renderer(
@@ -199,16 +221,16 @@ def render_sharded(
     cam = camera_params(scene.camera, width, height)
     cam_c = camera_consts(scene.camera, width, height)
     cfg_key = (
-        shard, production, width, height, spp, max_depth, sampler, has_dof,
-        rr, clamp, max_rays_per_chunk, regen_min_wave, cam_c,
+        shard, production, width, height, spp, spp_now, max_depth, sampler,
+        has_dof, rr, clamp, max_rays_per_chunk, regen_min_wave, cam_c,
         tuple(int(d.id) for d in mesh.devices.flat), tuple(mesh.axis_names),
     )
 
     if shard == "samples":
-        # Pad the sample axis: devices own ceil(spp / n_dev) sample indices
-        # each; indices >= spp never render (regen: per-lane limit; band:
-        # masked to zero inside _render_band).
-        spp_local = _cdiv(spp, n_dev)
+        # Pad the sample axis: devices own ceil(spp_now / n_dev) sample
+        # indices each; indices >= s_end never render (regen: per-lane
+        # limit; band: masked inside _render_band).
+        spp_local = _cdiv(spp_now, n_dev)
 
         if production:
             s_par, band_rows = chunker.regen_geometry(
@@ -227,10 +249,10 @@ def render_sharded(
                 # kernel; per-device sample range derived from axis_index.
                 plans = plan_entry["plans"]
 
-                def worker_sorted(compiled, seed, *plan_flat):
+                def worker_sorted(compiled, seed, s_base, s_cap, *plan_flat):
                     di = jax.lax.axis_index(AXIS)
-                    s0 = (di * spp_local).astype(jnp.int32)
-                    limit = jnp.minimum(jnp.int32(spp), s0 + spp_local)
+                    s0 = s_base + (di * spp_local).astype(jnp.int32)
+                    limit = jnp.minimum(s_cap, s0 + jnp.int32(spp_local))
                     fb = jnp.zeros((h_pad, width, 3), real)
                     for b in range(n_bands):
                         pxd, pyd, lived = plan_flat[3 * b : 3 * b + 3]
@@ -247,24 +269,25 @@ def render_sharded(
                         fb = fb.at[b * band_rows : (b + 1) * band_rows].add(
                             out
                         )
-                    return jax.lax.psum(fb[:height], AXIS) / real(spp)
+                    return jax.lax.psum(fb[:height], AXIS)
 
                 flat = tuple(a for p in plans for a in p)
                 fn = _memo_sharded(
                     compiled, cfg_key + ("sorted",), lambda: jax.jit(
                         jax.shard_map(
                             worker_sorted, mesh=mesh,
-                            in_specs=(P(), P()) + (P(),) * len(flat),
+                            in_specs=(P(),) * 4 + (P(),) * len(flat),
                             out_specs=P(), check_vma=False,
                         )
                     )
                 )
-                return fn(compiled, seed_arr, *flat)
+                return _norm(fn(compiled, seed_arr, s_base_arr, s_cap_arr,
+                                *flat))
 
-            def worker(compiled, seed):
+            def worker(compiled, seed, s_base, s_cap):
                 di = jax.lax.axis_index(AXIS)
-                s0 = (di * spp_local).astype(jnp.int32)
-                limit = jnp.minimum(jnp.int32(spp), s0 + spp_local)
+                s0 = s_base + (di * spp_local).astype(jnp.int32)
+                limit = jnp.minimum(s_cap, s0 + jnp.int32(spp_local))
                 fb = jnp.zeros((h_pad, width, 3), real)
                 works = []
                 for b in range(n_bands):
@@ -280,7 +303,7 @@ def render_sharded(
                         out, wk = out
                         works.append(wk)
                     fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
-                fbp = jax.lax.psum(fb[:height], AXIS) / real(spp)
+                fbp = jax.lax.psum(fb[:height], AXIS)
                 if sortable:
                     return fbp, jax.lax.psum(jnp.stack(works), AXIS)
                 return fbp
@@ -289,15 +312,15 @@ def render_sharded(
                 compiled, cfg_key + ("work" if sortable else "plain",),
                 lambda: jax.jit(
                     jax.shard_map(
-                        worker, mesh=mesh, in_specs=(P(), P()),
+                        worker, mesh=mesh, in_specs=(P(),) * 4,
                         out_specs=(P(), P()) if sortable else P(),
                         check_vma=False,
                     )
                 )
             )
             if not sortable:
-                return fn(compiled, seed_arr)
-            fb, works = fn(compiled, seed_arr)
+                return _norm(fn(compiled, seed_arr, s_base_arr, s_cap_arr))
+            fb, works = fn(compiled, seed_arr, s_base_arr, s_cap_arr)
             works = np.asarray(works)
             plan_entry["plans"] = [
                 _sorted_plan(
@@ -311,7 +334,7 @@ def render_sharded(
                 )
                 for b in range(n_bands)
             ]
-            return fb
+            return _norm(fb)
 
         spp_chunk, band_rows = chunker.chunk_geometry(
             scene, width, height, spp_local
@@ -320,15 +343,15 @@ def render_sharded(
         n_chunks = _cdiv(spp_local, spp_chunk)
         h_pad = n_bands * band_rows
 
-        def worker(compiled, cam, seed):
+        def worker(compiled, cam, seed, s_base, s_cap):
             di = jax.lax.axis_index(AXIS)
-            s0_base = (di * spp_local).astype(jnp.int32)
+            s0_base = s_base + (di * spp_local).astype(jnp.int32)
             # Per-device sample cap (round-5 fix): when spp_chunk does not
             # divide spp_local, the chunk grid overshoots into the next
             # device's slice — without this dynamic limit those samples
             # were double-counted (the global `sidx < spp` mask only
             # guards the final device's padding).
-            limit = jnp.minimum(jnp.int32(spp), s0_base + jnp.int32(spp_local))
+            limit = jnp.minimum(s_cap, s0_base + jnp.int32(spp_local))
             fb = jnp.zeros((h_pad, width, 3), real)
             for b in range(n_bands):
                 for c in range(n_chunks):
@@ -342,15 +365,15 @@ def render_sharded(
                         sample_limit=limit, rr=rr, clamp=clamp,
                     )
                     fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
-            return jax.lax.psum(fb[:height], AXIS) / real(spp)
+            return jax.lax.psum(fb[:height], AXIS)
 
         fn = _memo_sharded(compiled, cfg_key, lambda: jax.jit(
             jax.shard_map(
-                worker, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
+                worker, mesh=mesh, in_specs=(P(),) * 5, out_specs=P(),
                 check_vma=False,
             )
         ))
-        return fn(compiled, cam, seed_arr)
+        return _norm(fn(compiled, cam, seed_arr, s_base_arr, s_cap_arr))
 
     if shard == "rows":
         # Pad the row axis: devices own ceil(height / n_dev) rows each;
@@ -358,7 +381,9 @@ def render_sharded(
         rows_local = _cdiv(height, n_dev)
 
         if production:
-            s_par, band_rows = chunker.regen_geometry(width, rows_local, spp)
+            s_par, band_rows = chunker.regen_geometry(
+                width, rows_local, spp_now
+            )
             band_rows = min(band_rows, rows_local)
             n_bands = _cdiv(rows_local, band_rows)
             rows_pad = n_bands * band_rows
@@ -376,7 +401,7 @@ def render_sharded(
                 plans = plan_entry["plans"]  # [band] -> (px, py, live),
                 #                              each (n_dev, n_items)
 
-                def worker_sorted(compiled, seed, *plan_flat):
+                def worker_sorted(compiled, seed, s_base, s_cap, *plan_flat):
                     di = jax.lax.axis_index(AXIS)
                     y0_base = (di * rows_local).astype(jnp.int32)
                     fb = jnp.zeros((rows_pad, width, 3), real)
@@ -388,8 +413,8 @@ def render_sharded(
                             compiled, seed,
                             y0_base + jnp.int32(b * band_rows),
                             pxd, pyd,
-                            jnp.zeros_like(lived),
-                            jnp.where(lived > 0, jnp.int32(spp), 0),
+                            jnp.where(lived > 0, s_base, 0),
+                            jnp.where(lived > 0, s_cap, 0),
                             width=width, height=height, band_rows=band_rows,
                             spp=spp, max_depth=max_depth, sampler=sampler,
                             has_dof=has_dof, cam_consts=cam_c,
@@ -398,21 +423,23 @@ def render_sharded(
                         fb = fb.at[b * band_rows : (b + 1) * band_rows].add(
                             out
                         )
-                    return fb[:rows_local] / real(spp)
+                    return fb[:rows_local]
 
                 flat = tuple(a for p in plans for a in p)
                 fn = _memo_sharded(
                     compiled, cfg_key + ("sorted",), lambda: jax.jit(
                         jax.shard_map(
                             worker_sorted, mesh=mesh,
-                            in_specs=(P(), P()) + (P(AXIS),) * len(flat),
+                            in_specs=(P(),) * 4 + (P(AXIS),) * len(flat),
                             out_specs=P(AXIS), check_vma=False,
                         )
                     )
                 )
-                return fn(compiled, seed_arr, *flat)[:height]
+                return _norm(fn(
+                    compiled, seed_arr, s_base_arr, s_cap_arr, *flat
+                )[:height])
 
-            def worker(compiled, seed):
+            def worker(compiled, seed, s_base, s_cap):
                 di = jax.lax.axis_index(AXIS)
                 y0_base = (di * rows_local).astype(jnp.int32)
                 fb = jnp.zeros((rows_pad, width, 3), real)
@@ -420,9 +447,9 @@ def render_sharded(
                 for b in range(n_bands):
                     out = _render_band_regen(
                         compiled, seed,
-                        y0_base + jnp.int32(b * band_rows), jnp.int32(0),
+                        y0_base + jnp.int32(b * band_rows), s_base,
                         width=width, height=height, band_rows=band_rows,
-                        s_par=s_par, spp=spp, sample_limit=jnp.int32(spp),
+                        s_par=s_par, spp=spp, sample_limit=s_cap,
                         max_depth=max_depth, sampler=sampler,
                         has_dof=has_dof, cam_consts=cam_c, rr=rr, clamp=clamp,
                         want_work=sortable,
@@ -431,7 +458,7 @@ def render_sharded(
                         out, wk = out
                         works.append(wk)
                     fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
-                fbd = fb[:rows_local] / real(spp)
+                fbd = fb[:rows_local]
                 if sortable:
                     return fbd, jnp.stack(works)[None]
                 return fbd
@@ -440,15 +467,17 @@ def render_sharded(
                 compiled, cfg_key + ("work" if sortable else "plain",),
                 lambda: jax.jit(
                     jax.shard_map(
-                        worker, mesh=mesh, in_specs=(P(), P()),
+                        worker, mesh=mesh, in_specs=(P(),) * 4,
                         out_specs=(P(AXIS), P(AXIS)) if sortable else P(AXIS),
                         check_vma=False,
                     )
                 )
             )
             if not sortable:
-                return fn(compiled, seed_arr)[:height]
-            fb, works = fn(compiled, seed_arr)
+                return _norm(
+                    fn(compiled, seed_arr, s_base_arr, s_cap_arr)[:height]
+                )
+            fb, works = fn(compiled, seed_arr, s_base_arr, s_cap_arr)
             works = np.asarray(works)  # (n_dev, n_bands, n_lanes)
             n_items = _plan_items(band_rows, width, compiled.rows * 128)
             plans = []
@@ -464,17 +493,17 @@ def render_sharded(
                     jnp.stack([p[i] for p in per_dev]) for i in range(3)
                 ))
             plan_entry["plans"] = plans
-            return fb[:height]
+            return _norm(fb[:height])
 
         spp_chunk, band_rows = chunker.chunk_geometry(
-            scene, width, rows_local, spp
+            scene, width, rows_local, spp_now
         )
         band_rows = min(band_rows, rows_local)
         n_bands = _cdiv(rows_local, band_rows)
-        n_chunks = _cdiv(spp, spp_chunk)
+        n_chunks = _cdiv(spp_now, spp_chunk)
         rows_pad = n_bands * band_rows
 
-        def worker(compiled, cam, seed):
+        def worker(compiled, cam, seed, s_base, s_cap):
             di = jax.lax.axis_index(AXIS)
             y0_base = (di * rows_local).astype(jnp.int32)
             fb = jnp.zeros((rows_pad, width, 3), real)
@@ -483,21 +512,24 @@ def render_sharded(
                     out = _render_band(
                         compiled, cam, seed,
                         y0_base + jnp.int32(b * band_rows),
-                        jnp.int32(c * spp_chunk),
+                        s_base + jnp.int32(c * spp_chunk),
                         width=width, height=height, band_rows=band_rows,
                         spp_chunk=spp_chunk, spp=spp, max_depth=max_depth,
-                        sampler=sampler, has_dof=has_dof, rr=rr, clamp=clamp,
+                        sampler=sampler, has_dof=has_dof,
+                        sample_limit=s_cap, rr=rr, clamp=clamp,
                     )
                     fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
-            return fb[:rows_local] / real(spp)
+            return fb[:rows_local]
 
         fn = _memo_sharded(compiled, cfg_key, lambda: jax.jit(
             jax.shard_map(
-                worker, mesh=mesh, in_specs=(P(), P(), P()),
+                worker, mesh=mesh, in_specs=(P(),) * 5,
                 out_specs=P(AXIS), check_vma=False,
             )
         ))
-        return fn(compiled, cam, seed_arr)[:height]
+        return _norm(
+            fn(compiled, cam, seed_arr, s_base_arr, s_cap_arr)[:height]
+        )
 
     raise ValueError(f"unknown shard mode: {shard}")
 
@@ -517,180 +549,27 @@ def render_batch_sharded(
     max_rays_per_chunk: int = 1 << 21,
     rr: int = 0,
     clamp: float = 0.0,
+    regen_min_wave: Optional[int] = None,
 ):
     """Radiance SUM over samples [sample0, sample0+spp_now) across a
     device mesh — the sharded twin of render/progressive.py:_render_batch,
     so progressive checkpoint/resume composes with ``--shard``.
 
-    ``total_spp`` is the render's TOTAL sample count (samplers see the
-    same sequence geometry an uninterrupted render would; the batch's end
-    index bounds validity).  shard='samples' slices the batch's sample
-    range per device and psums; shard='rows' gives each device its row
-    region over the full batch range (zero collectives).  Because the RNG
-    is content-addressed by global ray id, the result is independent of
-    the device decomposition up to f32 summation order."""
-    if mesh is None:
-        from .mesh import make_mesh
-
-        mesh = make_mesh()
-    if shard not in ("samples", "rows"):
-        raise ValueError(f"unknown shard mode: {shard}")
-    n_dev = mesh.devices.size
-    compiled = scene.compiled
-    has_dof = scene.camera.has_depth_of_field
-    seed_arr = jnp.uint32(seed)
-    s_end = min(sample0 + spp_now, total_spp)
-
-    chunker = Renderer(
-        samples_per_pixel=total_spp, max_rays_per_chunk=max_rays_per_chunk,
-        max_ray_bounce_depth=max_depth, sampler=sampler,
+    A thin delegation to :func:`render_sharded` (round-5 review fix: the
+    first version duplicated all four workers and baked ``sample0`` into
+    the compiled closure, recompiling every batch).  ``sample0`` is a
+    dynamic input there, so all of a progressive render's full batches
+    share ONE compiled pipeline (the final partial batch, if any, adds a
+    second), and sortable scenes get the cost-sorted steady state.
+    Because the RNG is content-addressed by global ray id, the result is
+    independent of the device decomposition up to f32 summation order."""
+    return render_sharded(
+        scene, width, height, total_spp, max_depth=max_depth,
+        sampler=sampler, mesh=mesh, shard=shard, seed=seed,
+        max_rays_per_chunk=max_rays_per_chunk, rr=rr, clamp=clamp,
+        regen_min_wave=regen_min_wave, sample0=sample0,
+        sample_count=spp_now, normalize=False,
     )
-    production = _use_production_path(scene)
-    cam_c = camera_consts(scene.camera, width, height)
-    cfg_key = (
-        "batch", shard, production, width, height, total_spp, sample0,
-        spp_now, max_depth, sampler, has_dof, rr, clamp, max_rays_per_chunk,
-        cam_c,
-        tuple(int(d.id) for d in mesh.devices.flat), tuple(mesh.axis_names),
-    )
-
-    if shard == "samples":
-        q = _cdiv(spp_now, n_dev)  # per-device slice of the batch range
-
-        if production:
-            s_par, band_rows = chunker.regen_geometry(width, height, q)
-            n_bands = _cdiv(height, band_rows)
-            h_pad = n_bands * band_rows
-
-            def worker(compiled, seed):
-                di = jax.lax.axis_index(AXIS)
-                s0 = jnp.int32(sample0) + di * jnp.int32(q)
-                limit = jnp.minimum(jnp.int32(s_end), s0 + jnp.int32(q))
-                fb = jnp.zeros((h_pad, width, 3), real)
-                for b in range(n_bands):
-                    out = _render_band_regen(
-                        compiled, seed, jnp.int32(b * band_rows), s0,
-                        width=width, height=height, band_rows=band_rows,
-                        s_par=s_par, spp=total_spp, sample_limit=limit,
-                        max_depth=max_depth, sampler=sampler,
-                        has_dof=has_dof, cam_consts=cam_c, rr=rr,
-                        clamp=clamp,
-                    )
-                    fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
-                return jax.lax.psum(fb[:height], AXIS)
-
-            fn = _memo_sharded(compiled, cfg_key, lambda: jax.jit(
-                jax.shard_map(
-                    worker, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
-                    check_vma=False,
-                )
-            ))
-            return fn(compiled, seed_arr)
-
-        cam = camera_params(scene.camera, width, height)
-        spp_chunk, band_rows = chunker.chunk_geometry(scene, width, height, q)
-        n_bands = _cdiv(height, band_rows)
-        n_chunks = _cdiv(q, spp_chunk)
-        h_pad = n_bands * band_rows
-
-        def worker(compiled, cam, seed):
-            di = jax.lax.axis_index(AXIS)
-            s0_base = jnp.int32(sample0) + di * jnp.int32(q)
-            limit = jnp.minimum(
-                jnp.int32(s_end), s0_base + jnp.int32(q)
-            )
-            fb = jnp.zeros((h_pad, width, 3), real)
-            for b in range(n_bands):
-                for c in range(n_chunks):
-                    out = _render_band(
-                        compiled, cam, seed,
-                        jnp.int32(b * band_rows),
-                        s0_base + jnp.int32(c * spp_chunk),
-                        width=width, height=height, band_rows=band_rows,
-                        spp_chunk=spp_chunk, spp=total_spp,
-                        max_depth=max_depth, sampler=sampler,
-                        has_dof=has_dof, sample_limit=limit,
-                        rr=rr, clamp=clamp,
-                    )
-                    fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
-            return jax.lax.psum(fb[:height], AXIS)
-
-        fn = _memo_sharded(compiled, cfg_key, lambda: jax.jit(
-            jax.shard_map(
-                worker, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
-                check_vma=False,
-            )
-        ))
-        return fn(compiled, cam, seed_arr)
-
-    # shard == "rows"
-    rows_local = _cdiv(height, n_dev)
-
-    if production:
-        s_par, band_rows = chunker.regen_geometry(width, rows_local, spp_now)
-        band_rows = min(band_rows, rows_local)
-        n_bands = _cdiv(rows_local, band_rows)
-        rows_pad = n_bands * band_rows
-
-        def worker(compiled, seed):
-            di = jax.lax.axis_index(AXIS)
-            y0_base = (di * rows_local).astype(jnp.int32)
-            fb = jnp.zeros((rows_pad, width, 3), real)
-            for b in range(n_bands):
-                out = _render_band_regen(
-                    compiled, seed,
-                    y0_base + jnp.int32(b * band_rows), jnp.int32(sample0),
-                    width=width, height=height, band_rows=band_rows,
-                    s_par=s_par, spp=total_spp,
-                    sample_limit=jnp.int32(s_end),
-                    max_depth=max_depth, sampler=sampler, has_dof=has_dof,
-                    cam_consts=cam_c, rr=rr, clamp=clamp,
-                )
-                fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
-            return fb[:rows_local]
-
-        fn = _memo_sharded(compiled, cfg_key, lambda: jax.jit(
-            jax.shard_map(
-                worker, mesh=mesh, in_specs=(P(), P()), out_specs=P(AXIS),
-                check_vma=False,
-            )
-        ))
-        return fn(compiled, seed_arr)[:height]
-
-    cam = camera_params(scene.camera, width, height)
-    spp_chunk, band_rows = chunker.chunk_geometry(
-        scene, width, rows_local, spp_now
-    )
-    band_rows = min(band_rows, rows_local)
-    n_bands = _cdiv(rows_local, band_rows)
-    n_chunks = _cdiv(spp_now, spp_chunk)
-    rows_pad = n_bands * band_rows
-
-    def worker(compiled, cam, seed):
-        di = jax.lax.axis_index(AXIS)
-        y0_base = (di * rows_local).astype(jnp.int32)
-        fb = jnp.zeros((rows_pad, width, 3), real)
-        for b in range(n_bands):
-            for c in range(n_chunks):
-                out = _render_band(
-                    compiled, cam, seed,
-                    y0_base + jnp.int32(b * band_rows),
-                    jnp.int32(sample0 + c * spp_chunk),
-                    width=width, height=height, band_rows=band_rows,
-                    spp_chunk=spp_chunk, spp=total_spp,
-                    max_depth=max_depth, sampler=sampler, has_dof=has_dof,
-                    sample_limit=jnp.int32(s_end), rr=rr, clamp=clamp,
-                )
-                fb = fb.at[b * band_rows : (b + 1) * band_rows].add(out)
-        return fb[:rows_local]
-
-    fn = _memo_sharded(compiled, cfg_key, lambda: jax.jit(
-        jax.shard_map(
-            worker, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(AXIS),
-            check_vma=False,
-        )
-    ))
-    return fn(compiled, cam, seed_arr)[:height]
 
 
 def render_adaptive_sharded(

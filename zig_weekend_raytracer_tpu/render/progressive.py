@@ -32,11 +32,16 @@ log = logging.getLogger("zwrt")
 
 def _fingerprint(scene: Scene, width, height, renderer: Renderer) -> str:
     # every Renderer knob that changes the ESTIMATOR must be here — a
-    # resume under different settings would silently mix two estimators
+    # resume under different settings would silently mix two estimators —
+    # plus every knob that changes the CHUNK DECOMPOSITION (round-5 review
+    # fix): the estimator is decomposition-independent but the f32
+    # summation order is not, and the class promises bitwise resume
     return (
         f"{scene.name}:{width}x{height}:depth{renderer.max_ray_bounce_depth}"
         f":{renderer.sampler.value}:seed{renderer.seed}"
         f":rr{renderer.russian_roulette}:clamp{renderer.clamp_indirect}"
+        f":chunk{renderer.max_rays_per_chunk}-{renderer.max_rays_per_chunk_bvh}"
+        f"-{renderer.regen_min_wave}"
     )
 
 
@@ -110,6 +115,7 @@ class ProgressiveRenderer:
                     mesh=mesh, shard=self.shard, seed=sub.seed,
                     max_rays_per_chunk=sub.max_rays_per_chunk,
                     rr=sub.russian_roulette, clamp=sub.clamp_indirect,
+                    regen_min_wave=sub.regen_min_wave,
                 )
             else:
                 batch = _render_batch(
