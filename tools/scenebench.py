@@ -2,7 +2,8 @@
 
 Usage: python tools/scenebench.py <scene> [w] [h] [spp] [depth] [reps]
                                   [--rr=N] [--clamp=X] [--adaptive[=pilot]]
-                                  [--denoise=N]
+                                  [--denoise=N] [--shard=samples|rows]
+                                  [--supersample=K]
 
 Forces a host read per rep (the tunneled backend's block_until_ready
 returns early — same methodology as bench.py).  The optional flags
@@ -29,11 +30,14 @@ def main() -> None:
         a[2:].split("=", 1) if "=" in a else (a[2:], "1")
         for a in sys.argv[1:] if a.startswith("--")
     )
-    unknown = set(opts) - {"rr", "clamp", "adaptive", "denoise", "shard"}
+    unknown = set(opts) - {
+        "rr", "clamp", "adaptive", "denoise", "shard", "supersample",
+    }
     if unknown:
         raise SystemExit(
             f"unknown flags {sorted(unknown)} "
-            "(valid: --rr --clamp --adaptive --denoise --shard)"
+            "(valid: --rr --clamp --adaptive --denoise --shard "
+            "--supersample)"
         )
     scene_name = args[0] if len(args) > 0 else "cornell_box"
     width = int(args[1]) if len(args) > 1 else 400
@@ -50,6 +54,9 @@ def main() -> None:
         raise SystemExit(
             f"--shard={shard!r}: expected 'samples' or 'rows'"
         )
+    supersample = int(opts.get("supersample", 1))
+    if supersample > 1 and (adaptive or shard):
+        raise SystemExit("--supersample combines only with plain renders")
 
     scene = zwrt.models.load_scene(scene_name)
     renderer = zwrt.render.Renderer(
@@ -85,6 +92,10 @@ def main() -> None:
                 scene, width, height, spp, max_depth=depth, mesh=mesh,
                 shard=shard, rr=rr, clamp=clamp,
             )
+        elif supersample > 1:
+            out = renderer.render_supersampled(
+                scene, width, height, k=supersample
+            )
         else:
             out = renderer.render_device(scene, width, height)
         host_read = adaptive or shard
@@ -107,7 +118,8 @@ def main() -> None:
     tag = "".join(
         [f" rr={rr}" if rr else "", f" clamp={clamp}" if clamp else "",
          " adaptive" if adaptive else "",
-         f" shard={shard}" if shard else ""]
+         f" shard={shard}" if shard else "",
+         f" ss={supersample}" if supersample > 1 else ""]
     )
     print(
         f"{scene_name} {width}x{height}@{spp}spp d{depth}{tag}: "

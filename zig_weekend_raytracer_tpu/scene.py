@@ -125,6 +125,14 @@ class Camera:
     vfov_degrees: float = 40.0
     focus_dist: float = 10.0
     defocus_angle_degrees: float = 0.0
+    # Raster-grid shift in PIXEL units applied to pixel00 (default none).
+    # Internal: render_supersampled uses it to keep the Sobol sampler's
+    # PBRT-style raster convention aligned across resolutions — Sobol pixel
+    # offsets live in [0,1) (parity: src/math/sampler.zig:222-233, same in
+    # the reference), so pixel p covers [(p+.5)d, (p+1.5)d): a HALF-PIXEL
+    # anchor that scales with resolution.  A k-res render tiles the base
+    # pixels exactly only when shifted by (k-1)/2 sub-pixels.
+    raster_shift: Tuple[float, float] = (0.0, 0.0)
 
     def basis(self):
         lf = np.asarray(self.look_from, np.float64)
@@ -162,7 +170,10 @@ class Camera:
         upper_left = lf - self.focus_dist * w - vp_u / 2 - vp_v / 2
         du = vp_u / width
         dv = vp_v / height
-        pixel00 = upper_left + 0.5 * (du + dv)
+        pixel00 = (
+            upper_left + 0.5 * (du + dv)
+            + self.raster_shift[0] * du + self.raster_shift[1] * dv
+        )
         return pixel00.astype(_F), du.astype(_F), dv.astype(_F)
 
 
